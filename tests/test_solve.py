@@ -1,0 +1,150 @@
+"""Port of the reference test suite (SURVEY.md §4).
+
+Six testsets mirroring /root/reference/test/runtests.jl:
+  1/2. lsolve dense/sparse — forward engine alone vs scipy L \\ b
+  3/4. rsolve dense/sparse — backward engine alone vs scipy U \\ b
+  5/6. full ldiv dense/sparse — lifecycle: solve → new RHS same
+       factorization → refactor with new values → solve → new RHS again
+       (runtests.jl:108-188)
+
+Tolerances: 1e-12 sparse-structured, 1e-10 dense-random
+(runtests.jl:25-26). Ground truth is scipy's trusted solvers, never
+hand-coded values — the reference's property-testing style.
+
+The reference sweeps n in 1:200; we sweep a representative subset
+(including every boundary case: n=1, n<cs, n=cs, n=cs±1, non-divisible n)
+to keep JIT time sane, plus all three tri_modes and both schedules.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from _approx import assert_isapprox
+from tpu_sparse_lu import ParallelSparseLU, SolverConfig
+from tpu_sparse_lu.models import dense_random, fe_block_matrix
+
+TOL = 1e-12       # sparse tolerance (runtests.jl:25)
+DENSE_TOL = 1e-10  # dense tolerance (runtests.jl:26)
+
+DENSE_SIZES = [1, 2, 3, 7, 8, 9, 20, 33, 64, 100, 129]
+FE_SIZES = [1, 2, 5, 16, 50]  # n = 4*nel + 1 with ngrid=5 → up to 201
+
+
+def _spsolve_lower(L, b):
+    return spla.spsolve_triangular(sp.csr_matrix(L), b, lower=True)
+
+
+def _spsolve_upper(U, b):
+    return spla.spsolve_triangular(sp.csr_matrix(U), b, lower=False)
+
+
+# ---------------------------------------------------------------------------
+# Testsets 1-6, combined per matrix instance: lsolve and rsolve against the
+# scipy triangular solves (runtests.jl testsets 1-4), then the full ldiv
+# lifecycle (testsets 5-6, runtests.jl:108-188). One factorization serves
+# all engine checks, which keeps the jit-compile count down.
+# ---------------------------------------------------------------------------
+
+
+def _engines_and_lifecycle(rng, make_matrix, tol, **f_kwargs):
+    A = make_matrix()
+    n = A.shape[0]
+    F = ParallelSparseLU(A, **f_kwargs)
+    b = rng.random(n)
+
+    # lsolve / rsolve engines in isolation (runtests.jl:38-106)
+    assert_isapprox(np.asarray(F.lsolve(b)), _spsolve_lower(F.L, b),
+                    rtol=tol, atol=tol)
+    assert_isapprox(np.asarray(F.rsolve(b)), _spsolve_upper(F.U, b),
+                    rtol=tol, atol=tol)
+
+    # full solve
+    x = np.asarray(F.ldiv(b))
+    assert_isapprox(x, spla.spsolve(A, b), rtol=tol, atol=tol)
+
+    # new RHS, same factorization (runtests.jl:123-126)
+    b2 = rng.random(n)
+    assert_isapprox(np.asarray(F.ldiv(b2)), spla.spsolve(A, b2),
+                    rtol=tol, atol=tol)
+
+    # new matrix values, refactorize in place (runtests.jl:129-131)
+    A2 = make_matrix()
+    F.refactor(A2)
+    b3 = rng.random(n)
+    assert_isapprox(np.asarray(F.ldiv(b3)), spla.spsolve(A2, b3),
+                    rtol=tol, atol=tol)
+
+    # new RHS again (runtests.jl:141-144)
+    b4 = rng.random(n)
+    assert_isapprox(np.asarray(F.ldiv(b4)), spla.spsolve(A2, b4),
+                    rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("n", DENSE_SIZES)
+def test_dense(rng, n):
+    _engines_and_lifecycle(rng, lambda: dense_random(rng, n), DENSE_TOL)
+
+
+@pytest.mark.parametrize("nel", FE_SIZES)
+def test_sparse(rng, nel):
+    _engines_and_lifecycle(rng, lambda: fe_block_matrix(rng, nel, 5), TOL)
+
+
+# ---------------------------------------------------------------------------
+# config matrix: tri modes, schedules, chunk sizes
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("tri_mode", ["trsm", "inv", "inv_refine"])
+@pytest.mark.parametrize("schedule", ["scan", "unrolled"])
+def test_modes_and_schedules(rng, tri_mode, schedule):
+    A = fe_block_matrix(rng, 12, 5)
+    n = A.shape[0]
+    cfg = SolverConfig(chunk_size=8, tri_mode=tri_mode, schedule=schedule)
+    F = ParallelSparseLU(A, config=cfg)
+    b = rng.random(n)
+    x = np.asarray(F.ldiv(b))
+    tol = TOL if tri_mode != "inv" else 1e-9  # plain inverses lose a few digits
+    assert_isapprox(x, spla.spsolve(A, b), rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("cs", [1, 2, 5, 8, 16, 200])
+def test_chunk_sizes(rng, cs):
+    """The reference never tests chunk_size != 8 (SURVEY.md §4 gap) — we do,
+    including cs=1 and cs > n (clamped, src:72)."""
+    A = fe_block_matrix(rng, 10, 5)
+    n = A.shape[0]
+    F = ParallelSparseLU(A, chunk_size=cs)
+    assert F.chunk_size == min(cs, n)
+    b = rng.random(n)
+    assert_isapprox(np.asarray(F.ldiv(b)), spla.spsolve(A, b), rtol=TOL, atol=TOL)
+
+
+def test_multi_rhs(rng):
+    """SpSM: (n, R) panel solve (BASELINE config 3) vs column-by-column."""
+    A = fe_block_matrix(rng, 15, 5)
+    n = A.shape[0]
+    F = ParallelSparseLU(A)
+    B = rng.random((n, 7))
+    X = np.asarray(F.ldiv(B))
+    for j in range(7):
+        assert_isapprox(X[:, j], spla.spsolve(A, B[:, j]), rtol=TOL, atol=TOL)
+
+
+def test_dimension_mismatch(rng):
+    A = fe_block_matrix(rng, 4, 5)
+    F = ParallelSparseLU(A)
+    with pytest.raises(ValueError):
+        F.ldiv(np.ones(A.shape[0] + 1))
+
+
+def test_determinism(rng):
+    """Same input → bitwise-identical output (SURVEY.md §5.2)."""
+    A = fe_block_matrix(rng, 10, 5)
+    F = ParallelSparseLU(A)
+    b = rng.random(A.shape[0])
+    x1 = np.asarray(F.ldiv(b))
+    x2 = np.asarray(F.ldiv(b))
+    assert np.array_equal(x1, x2)

@@ -1,0 +1,109 @@
+"""Symbolic-layer tests: factorization convention, planner invariants,
+level-schedule validity, plan serialization."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpu_sparse_lu import factorize_host, plan_triangular, SymbolicPlan, build_symbolic_plan
+from tpu_sparse_lu.models import (
+    dense_random,
+    fe_block_matrix,
+    laplacian_1d,
+    poisson_2d,
+    random_sparse,
+)
+
+
+def _check_convention(A):
+    """L @ U == (Rs .* A)[p, q] — the reference's factorization contract
+    (src/SharedMemSparseLU.jl:292-316)."""
+    f = factorize_host(A)
+    lhs = (f.L @ f.U).toarray()
+    scaled = (sp.diags(f.Rs) @ A).toarray()
+    rhs = scaled[f.p][:, f.q]
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12, atol=1e-12)
+    # L unit lower, U upper
+    L = f.L.toarray()
+    U = f.U.toarray()
+    np.testing.assert_allclose(np.diag(L), 1.0, rtol=1e-14)
+    assert np.allclose(np.triu(L, 1), 0)
+    assert np.allclose(np.tril(U, -1), 0)
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 17, 64, 100])
+def test_factorization_convention_dense(rng, n):
+    _check_convention(dense_random(rng, n))
+
+
+@pytest.mark.parametrize("nel", [1, 3, 10, 40])
+def test_factorization_convention_fe(rng, nel):
+    _check_convention(fe_block_matrix(rng, nel, 5))
+
+
+def test_factorization_convention_poisson():
+    _check_convention(poisson_2d(12, 9))
+
+
+def test_factorize_rejects_nonsquare():
+    A = sp.random(4, 5, density=0.5, format="csc")
+    with pytest.raises(ValueError):
+        factorize_host(A)
+
+
+@pytest.mark.parametrize("lower", [True, False])
+@pytest.mark.parametrize("cs", [1, 3, 8, 32])
+def test_plan_invariants(rng, lower, cs):
+    A = fe_block_matrix(rng, 20, 5)
+    f = factorize_host(A)
+    M = f.L if lower else f.U
+    plan = plan_triangular(M, cs, lower=lower)
+    n = M.shape[0]
+    assert plan.K == -(-n // plan.cs)
+    # every real chunk appears exactly once in the schedule
+    sched = plan.level_chunks[plan.level_chunks < plan.K]
+    assert sorted(sched.tolist()) == list(range(plan.K))
+    # every real tile appears exactly once
+    tiles = plan.level_tiles[plan.level_tiles < plan.T]
+    assert sorted(tiles.tolist()) == list(range(plan.T))
+    # topological validity: a tile's source chunk level < dest chunk level
+    level_of = np.zeros(plan.K + 1, dtype=int)
+    for l in range(plan.num_levels):
+        for k in plan.level_chunks[l]:
+            if k < plan.K:
+                level_of[k] = l
+    for t in range(plan.T):
+        src = plan.tile_bcol[t]
+        dst = plan.tile_brow[t]
+        assert level_of[src] < level_of[dst]
+        if lower:
+            assert dst > src
+        else:
+            assert dst < src
+
+
+def test_banded_plan_is_a_chain():
+    """Tridiagonal L with cs>=bandwidth gives width-1 levels (the
+    reference's serial chain, SURVEY.md §3.2)."""
+    A = laplacian_1d(64)
+    f = factorize_host(A)
+    plan = plan_triangular(f.L, 8, lower=True)
+    assert plan.max_chunks_per_level == 1
+
+
+def test_plan_serialization_roundtrip(tmp_path, rng):
+    A = fe_block_matrix(rng, 10, 5)
+    f = factorize_host(A)
+    plan = build_symbolic_plan(f, 8)
+    path = str(tmp_path / "plan.npz")
+    plan.save(path)
+    loaded = SymbolicPlan.load(path)
+    assert loaded.n == plan.n and loaded.cs == plan.cs
+    np.testing.assert_array_equal(loaded.p, plan.p)
+    np.testing.assert_array_equal(loaded.qinv, plan.qinv)
+    for a, b in ((loaded.lplan, plan.lplan), (loaded.uplan, plan.uplan)):
+        assert a.lower == b.lower and a.K == b.K and a.T == b.T
+        np.testing.assert_array_equal(a.level_chunks, b.level_chunks)
+        np.testing.assert_array_equal(a.level_tiles, b.level_tiles)
+        np.testing.assert_array_equal(a.diag_dest, b.diag_dest)
+        np.testing.assert_array_equal(a.offdiag_dest, b.offdiag_dest)

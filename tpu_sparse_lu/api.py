@@ -1,0 +1,373 @@
+"""Public solver API: the :class:`ParallelSparseLU` lifecycle.
+
+Mirrors the reference's user contract (SURVEY.md §7 idea 3, test lifecycle
+at /root/reference/test/runtests.jl:108-188): factor once → solve many →
+refactor in place when values change but sparsity doesn't → solve again.
+
+  * ``ParallelSparseLU(A, chunk_size)``  ↔ reference constructor src:64-99
+  * ``F.ldiv(b)`` / ``F.solve(b)``       ↔ ``ldiv!(x, F, b)``   src:286-342
+  * ``F.lsolve(b)`` / ``F.rsolve(b)``    ↔ ``lsolve!``/``rsolve!``
+                                            src:349-392 (semi-public, tested
+                                            directly by the reference suite)
+  * ``F.refactor(A)``                    ↔ ``lu!(F, A)``        src:245-279
+  * ``F.refactor_numeric(A)``            — device-side same-pattern numeric
+                                            refactorization (static pivots;
+                                            the TPU-native counterpart of
+                                            UMFPACK's numeric-only ``lu!``).
+
+Unlike the reference there is no shared ``wrk`` scratch (src:53, :80): the
+solves are pure functions, hence reentrant and race-free by construction
+(SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from .pack import pack_factor
+from .solve import (
+    TriKernelData,
+    block_rhs,
+    blocked_tri_solve,
+    prepare_tri_kernel,
+    unblock_rhs,
+)
+from .symbolic import (
+    HostFactors,
+    SymbolicPlan,
+    build_symbolic_plan,
+    factorize_host,
+)
+from .utils.config import SolverConfig, default_chunk_size
+
+__all__ = ["ParallelSparseLU", "cleanup_ParallelSparseLU"]
+
+
+def _resolve_dtype(config_dtype: Optional[str], A_dtype) -> jnp.dtype:
+    if config_dtype is not None:
+        return jnp.dtype(config_dtype)
+    if A_dtype == np.float64 and jax.config.jax_enable_x64:
+        return jnp.dtype(jnp.float64)
+    return jnp.dtype(jnp.float32)
+
+
+class ParallelSparseLU:
+    """Sparse LU factorization with fast repeated solves on TPU.
+
+    Exposes the same quantities as the reference struct
+    (src/SharedMemSparseLU.jl:43-62): ``m, n, L, U, p, q, Rs`` with
+    ``L @ U == (Rs[:, None] * A)[p][:, q]`` (src:292-316), plus the static
+    :class:`SymbolicPlan` and device-resident packed tiles.
+    """
+
+    def __init__(
+        self,
+        A: sp.spmatrix,
+        chunk_size: Optional[int] = None,
+        *,
+        config: Optional[SolverConfig] = None,
+    ):
+        self.config = config or SolverConfig(chunk_size=chunk_size)
+        if chunk_size is not None and self.config.chunk_size is None:
+            self.config = SolverConfig(
+                chunk_size=chunk_size,
+                tri_mode=self.config.tri_mode,
+                dtype=self.config.dtype,
+                schedule=self.config.schedule,
+            )
+        A = sp.csc_matrix(A)
+        A.sort_indices()
+        cs = self.config.chunk_size or default_chunk_size(A.shape[0])
+        cs = max(1, min(cs, A.shape[0]))  # reference clamp, src:72
+
+        self._factors = factorize_host(A)
+        self.dtype = _resolve_dtype(self.config.dtype, A.dtype)
+        self.plan = build_symbolic_plan(self._factors, cs)
+        # original input pattern, for the device refactorization path
+        self._a_pattern = (A.indptr.copy(), A.indices.copy())
+        self._a_pattern_sig = (A.indptr.tobytes(), A.indices.tobytes())
+        self._refactor_plan = None
+        self._set_matrix_device(A)
+        self._prepare_device()
+        self._jit_cache = {}
+
+    def _set_matrix_device(self, A: sp.csc_matrix) -> None:
+        """Keep A on device for residual computation (iterative refinement;
+        SURVEY.md §7 hard part 2 mitigation — also the fp32-on-TPU path)."""
+        n = A.shape[0]
+        self._a_rows_dev = jnp.asarray(A.indices.astype(np.int32))
+        self._a_cols_dev = jnp.asarray(
+            np.repeat(np.arange(n, dtype=np.int32), np.diff(A.indptr))
+        )
+        self._a_data_dev = jnp.asarray(A.data, dtype=self.dtype)
+
+    def matvec(self, x):
+        """Device SpMV ``A @ x`` with the current matrix values."""
+        x = jnp.asarray(x, dtype=self.dtype)
+        squeeze = x.ndim == 1
+        xv = x[:, None] if squeeze else x
+        y = jnp.zeros((self.n, xv.shape[1]), self.dtype).at[self._a_rows_dev].add(
+            self._a_data_dev[:, None] * xv[self._a_cols_dev]
+        )
+        return y[:, 0] if squeeze else y
+
+    # -- reference-parity attributes ---------------------------------------
+    @property
+    def m(self) -> int:
+        return self._factors.m
+
+    @property
+    def n(self) -> int:
+        return self._factors.n
+
+    @property
+    def L(self) -> sp.csc_matrix:
+        return self._factors.L
+
+    @property
+    def U(self) -> sp.csc_matrix:
+        return self._factors.U
+
+    @property
+    def p(self) -> np.ndarray:
+        return self._factors.p
+
+    @property
+    def q(self) -> np.ndarray:
+        return self._factors.q
+
+    @property
+    def Rs(self) -> np.ndarray:
+        return self._factors.Rs
+
+    @property
+    def chunk_size(self) -> int:
+        return self.plan.cs
+
+    @property
+    def total_chunks(self) -> int:
+        return self.plan.lplan.K
+
+    # -- device state -------------------------------------------------------
+    def _prepare_device(self) -> None:
+        """Pack factor nonzeros into tiles and build per-factor kernel data
+        (the reference's allocate_chunks + fill_chunks!, src:151-243)."""
+        plan = self.plan
+        ldiag, loff = pack_factor(
+            plan.lplan, np.asarray(self._factors.L.data, dtype=self.dtype)
+        )
+        udiag, uoff = pack_factor(
+            plan.uplan, np.asarray(self._factors.U.data, dtype=self.dtype)
+        )
+        mode = self.config.tri_mode
+        with jax.default_matmul_precision(self.config.matmul_precision):
+            self.ldata: TriKernelData = prepare_tri_kernel(
+                plan.lplan, ldiag, loff, tri_mode=mode
+            )
+            self.udata: TriKernelData = prepare_tri_kernel(
+                plan.uplan, udiag, uoff, tri_mode=mode
+            )
+        # permutation/scaling vectors for ldiv (src:324-339)
+        self._p_dev = jnp.asarray(plan.p)
+        self._qinv_dev = jnp.asarray(plan.qinv)
+        self._rs_p_dev = jnp.asarray(plan.Rs[plan.p], dtype=self.dtype)
+
+    # -- functional core (jitted per RHS shape) -----------------------------
+    def _exe(self, kind: str):
+        """Build (and cache) the jitted executable for `kind`."""
+        if kind in self._jit_cache:
+            return self._jit_cache[kind]
+        plan = self.plan
+        mode = self.config.tri_mode
+        schedule = self.config.schedule
+        prec = self.config.matmul_precision
+        n, cs = plan.n, plan.cs
+
+        def _prec(f):
+            def wrapped(*a):
+                with jax.default_matmul_precision(prec):
+                    return f(*a)
+            return wrapped
+
+        def lsolve(ldata, b):
+            xw = block_rhs(b, n, plan.lplan.K, cs)
+            xw = blocked_tri_solve(
+                plan.lplan, ldata, xw, tri_mode=mode, schedule=schedule
+            )
+            return unblock_rhs(xw, n)
+
+        def rsolve(udata, b):
+            xw = block_rhs(b, n, plan.uplan.K, cs)
+            xw = blocked_tri_solve(
+                plan.uplan, udata, xw, tri_mode=mode, schedule=schedule
+            )
+            return unblock_rhs(xw, n)
+
+        def ldiv(ldata, udata, p, qinv, rs_p, b):
+            # wrk = (Rs .* b)[p]  (src:324-327)
+            wrk = rs_p[:, None] * b[p]
+            wrk = lsolve(ldata, wrk)  # forward substitution (src:330)
+            wrk = rsolve(udata, wrk)  # backward substitution (src:333)
+            return wrk[qinv]  # un-pivot: x[q] = wrk (src:337-339)
+
+        fns = {
+            "lsolve": jax.jit(_prec(lsolve)),
+            "rsolve": jax.jit(_prec(rsolve)),
+            "ldiv": jax.jit(_prec(ldiv)),
+        }
+        self._jit_cache[kind] = fns[kind]
+        return fns[kind]
+
+    # -- public solves ------------------------------------------------------
+    def _as_rhs(self, b):
+        b = jnp.asarray(b, dtype=self.dtype)
+        if b.shape[0] != self.n:
+            raise ValueError(
+                f"`b` does not have same size as F: {b.shape[0]} vs n={self.n}"
+            )
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        return b, squeeze
+
+    def lsolve(self, b):
+        """Solve ``L y = b`` (reference ``lsolve!``, src:349-367)."""
+        b, squeeze = self._as_rhs(b)
+        y = self._exe("lsolve")(self.ldata, b)
+        return y[:, 0] if squeeze else y
+
+    def rsolve(self, b):
+        """Solve ``U y = b`` (reference ``rsolve!``, src:374-392)."""
+        b, squeeze = self._as_rhs(b)
+        y = self._exe("rsolve")(self.udata, b)
+        return y[:, 0] if squeeze else y
+
+    def ldiv(self, b, *, refine_steps: int = 0):
+        """Solve ``A x = b`` (reference ``ldiv!``, src:286-342).
+
+        ``b`` may be ``(n,)`` or ``(n, R)`` — multi-RHS batches the entire
+        solve over the MXU (SpSM; BASELINE.md config 3).
+
+        ``refine_steps`` — iterative-refinement sweeps: after the direct
+        solve, ``x += solve(b - A x)`` that many times. One step recovers
+        full precision when the static-pivot device refactorization (or an
+        fp32 factorization on TPU) loses digits to conditioning.
+        """
+        if self.m != self.n:
+            raise ValueError(f"`F` is not square: m={self.m}, n={self.n}")
+        b, squeeze = self._as_rhs(b)
+        exe = self._exe("ldiv")
+        args = (self.ldata, self.udata, self._p_dev, self._qinv_dev,
+                self._rs_p_dev)
+        x = exe(*args, b)
+        for _ in range(refine_steps):
+            r = b - self.matvec(x)
+            x = x + exe(*args, r)
+        return x[:, 0] if squeeze else x
+
+    solve = ldiv
+    __call__ = ldiv
+
+    # -- refactorization ----------------------------------------------------
+    def refactor(self, A: Optional[sp.spmatrix]) -> None:
+        """Full host refactorization — reference ``lu!(F, A)`` (src:245-279).
+
+        Re-runs the backend (which may re-pivot, like UMFPACK's numeric
+        phase), detects a sparsity-pattern change exactly as the reference
+        does (src:252-258), re-plans only when the pattern changed
+        (src:265-273), and always re-packs (src:274-276). ``A=None`` is
+        accepted for parity (src:246) and is a no-op re-pack.
+        """
+        if A is None:
+            self._prepare_device()
+            return
+        A = sp.csc_matrix(A)
+        A.sort_indices()
+        old_sig = self._factors.pattern_signature()
+        new_factors = factorize_host(A)
+        reallocate = new_factors.pattern_signature() != old_sig
+        self._factors = new_factors
+        # Pivots (and possibly the pattern) may have moved: any cached
+        # static-pivot refactorization schedule is stale.
+        self._a_pattern = (A.indptr.copy(), A.indices.copy())
+        self._a_pattern_sig = (A.indptr.tobytes(), A.indices.tobytes())
+        self._refactor_plan = None
+        self._set_matrix_device(A)
+        if reallocate:
+            self.plan = build_symbolic_plan(new_factors, self.plan.cs)
+            self._jit_cache.clear()
+        else:
+            # Same L/U pattern, but the backend may still have picked new
+            # pivots/scaling — refresh them unconditionally, exactly like
+            # the reference's in-place copies (src:261-263).
+            self.plan.p = new_factors.p.astype(np.int32)
+            self.plan.q = new_factors.q.astype(np.int32)
+            self.plan.Rs = new_factors.Rs
+            self.plan.qinv = np.argsort(new_factors.q).astype(np.int32)
+        self._prepare_device()
+
+    @property
+    def has_device_refactor(self) -> bool:
+        return self._refactor_plan is not None
+
+    def enable_device_refactor(self) -> None:
+        """Build (once) the static device-refactorization schedule.
+
+        Rebuilds the solve plans on the blocked-fill closure of the input
+        pattern (a tile superset of the factors' own patterns) so refactored
+        tiles feed the solve engine directly, then re-packs the current
+        factors onto the widened plans.
+        """
+        if self._refactor_plan is not None:
+            return
+        from .refactor import build_refactor_plan, closure_solve_plans
+
+        indptr, indices = self._a_pattern
+        A_pat = sp.csc_matrix(
+            (np.ones(indices.shape[0]), indices, indptr), shape=(self.n, self.n)
+        )
+        lplan, uplan = closure_solve_plans(
+            A_pat, self._factors.L, self._factors.U,
+            self._factors.p, self._factors.q, self.plan.cs,
+        )
+        self.plan.lplan = lplan
+        self.plan.uplan = uplan
+        self._jit_cache.clear()
+        self._refactor_plan = build_refactor_plan(
+            A_pat, self._factors.p, self._factors.q, self.plan.cs, lplan, uplan
+        )
+        self._prepare_device()
+
+    def refactor_numeric(self, A: sp.spmatrix) -> None:
+        """Device-side same-pattern numeric refactorization (static pivots).
+
+        The TPU-native counterpart of UMFPACK's numeric-only ``lu!``
+        (src:247): reuses the cached symbolic schedule (pivot order, fill
+        pattern, tile plan) and recomputes only numeric values on device.
+        Requires ``A`` to have the same sparsity pattern as the matrix this
+        factorization was built from.
+        """
+        from .refactor import refactor_same_pattern
+
+        refactor_same_pattern(self, sp.csc_matrix(A))
+
+    # -- misc ---------------------------------------------------------------
+    def save_symbolic(self, path: str) -> None:
+        """Persist the symbolic schedule (SURVEY.md §5.4)."""
+        self.plan.save(path)
+
+    def close(self) -> None:
+        """Release device buffers (analogue of the reference's exported —
+        but never defined — ``cleanup_ParallelSparseLU!``, src:31)."""
+        self.ldata = self.udata = None
+        self._jit_cache.clear()
+
+
+def cleanup_ParallelSparseLU(F: ParallelSparseLU) -> None:
+    """API-parity alias for the reference export (src:31)."""
+    F.close()

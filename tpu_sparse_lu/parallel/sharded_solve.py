@@ -1,0 +1,242 @@
+"""Mesh-sharded level-scheduled triangular solves.
+
+TPU-native realisation of the reference's *intended* parallel design
+(SURVEY.md C10): SharedMemSparseLU.jl's namesake plan was MPI shared-memory
+windows with the chunk loop rank-striped across a node — declared (MPI dep,
+``allocate_shared`` export) but never implemented in the snapshot
+(/root/reference/src/SharedMemSparseLU.jl:31, Project.toml:8).
+
+Mapping (SURVEY.md §5.8):
+  MPI shared-memory window  →  replicated HBM array across the mesh
+  rank-striped chunk loop   →  chunks of a level striped over mesh devices
+  window barriers           →  one ``psum`` per level
+
+Within a level every chunk is independent (that's what the level schedule
+guarantees), so each device triangular-solves its stripe of diagonal tiles
+and applies exactly the off-diagonal tiles *sourced* at its own chunks
+(owner-computes placement), then a single ``psum`` merges all deltas into
+the replicated solution carrier. Sequential dependencies cross levels only,
+so the collective count is ``num_levels`` — the minimum any
+shared-memory-style schedule needs.
+
+Implemented with ``shard_map`` over a 1-D ``Mesh``; on hardware the psum
+rides ICI. Works identically on a simulated CPU mesh
+(``--xla_force_host_platform_device_count``) for CI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..solve import TriKernelData, block_rhs, unblock_rhs
+from ..symbolic import TriPlan
+
+__all__ = ["ShardedTriPlan", "build_sharded_tri_plan", "sharded_blocked_tri_solve",
+           "sharded_ldiv", "make_sharded_ldiv"]
+
+
+@dataclasses.dataclass
+class ShardedTriPlan:
+    """Per-device level schedule: chunks striped round-robin, tiles placed
+    with the device that owns their source chunk (owner-computes)."""
+
+    D: int  # mesh size
+    # (NL, D, MCd): chunk ids, padded with K (dummy)
+    level_chunks: np.ndarray
+    # (NL, D, MTd): tile ids, padded with T (dummy)
+    level_tiles: np.ndarray
+    # (NL, D, MTd): local slot (into this device's chunk stripe) of each
+    # tile's source chunk; dummy tiles point at slot 0
+    tile_src_slot: np.ndarray
+
+
+def build_sharded_tri_plan(plan: TriPlan, D: int) -> ShardedTriPlan:
+    NL = plan.num_levels
+    K, T = plan.K, plan.T
+    # distribute chunks of each level round-robin over devices
+    per_dev_chunks = [[[] for _ in range(D)] for _ in range(NL)]
+    owner = {}
+    slot = {}
+    for l in range(NL):
+        cnt = int(plan.level_chunk_counts[l])
+        for a in range(cnt):
+            k = int(plan.level_chunks[l, a])
+            d = a % D
+            owner[k] = d
+            slot[k] = len(per_dev_chunks[l][d])
+            per_dev_chunks[l][d].append(k)
+    # tiles go to the owner of their source chunk
+    per_dev_tiles = [[[] for _ in range(D)] for _ in range(NL)]
+    for l in range(NL):
+        cnt = int(plan.level_tile_counts[l])
+        for a in range(cnt):
+            t = int(plan.level_tiles[l, a])
+            src = int(plan.tile_bcol[t])
+            d = owner[src]
+            per_dev_tiles[l][d].append((t, slot[src]))
+
+    MCd = max((len(c) for lvl in per_dev_chunks for c in lvl), default=1) or 1
+    MTd = max((len(t) for lvl in per_dev_tiles for t in lvl), default=1) or 1
+    level_chunks = np.full((NL, D, MCd), K, dtype=np.int32)
+    level_tiles = np.full((NL, D, MTd), T, dtype=np.int32)
+    tile_src_slot = np.zeros((NL, D, MTd), dtype=np.int32)
+    for l in range(NL):
+        for d in range(D):
+            for a, k in enumerate(per_dev_chunks[l][d]):
+                level_chunks[l, d, a] = k
+            for a, (t, s) in enumerate(per_dev_tiles[l][d]):
+                level_tiles[l, d, a] = t
+                tile_src_slot[l, d, a] = s
+    return ShardedTriPlan(
+        D=D,
+        level_chunks=level_chunks,
+        level_tiles=level_tiles,
+        tile_src_slot=tile_src_slot,
+    )
+
+
+def _bmm(a, b):
+    return lax.dot_general(
+        a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=a.dtype if a.dtype == jnp.float64 else jnp.float32,
+    ).astype(a.dtype)
+
+
+def sharded_blocked_tri_solve(
+    mesh: Mesh,
+    axis: str,
+    plan: TriPlan,
+    splan: ShardedTriPlan,
+    data: TriKernelData,
+    xw: jax.Array,
+    *,
+    tri_mode: str = "trsm",
+) -> jax.Array:
+    """Solve T x = b with per-level device striping.
+
+    ``xw`` is the replicated chunk-blocked carrier (K+1, cs, R); tile data
+    is replicated too (the shared-memory-window model — every chip sees the
+    whole factor, like ranks mapping one MPI window). Returns the updated
+    replicated carrier.
+    """
+    lower = plan.lower
+    lc = jnp.asarray(splan.level_chunks)    # (NL, D, MCd)
+    lt = jnp.asarray(splan.level_tiles)     # (NL, D, MTd)
+    ls = jnp.asarray(splan.tile_src_slot)   # (NL, D, MTd)
+
+    def solve_diag(r, chunk_ids):
+        if tri_mode == "trsm":
+            tri = data.diag[chunk_ids]
+            return lax.linalg.triangular_solve(
+                tri, r, left_side=True, lower=lower, unit_diagonal=False
+            )
+        tinv = data.diag_inv[chunk_ids]
+        y = _bmm(tinv, r)
+        if tri_mode == "inv_refine":
+            resid = r - _bmm(data.diag[chunk_ids], y)
+            y = y + _bmm(tinv, resid)
+        return y
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        # schedules are (NL, D, ·): shard the device axis, replicate levels
+        in_specs=(P(), P(None, axis), P(None, axis), P(None, axis)),
+        out_specs=P(),
+    )
+    def run(xw, lc_me, lt_me, ls_me):
+        # shard_map gives each device its (NL, 1, MCd) stripe
+        lc_me = lc_me[:, 0]
+        lt_me = lt_me[:, 0]
+        ls_me = ls_me[:, 0]
+
+        def step(carry, xs):
+            xw = carry
+            my_chunks, my_tiles, my_slots = xs
+            r = xw[my_chunks]                      # (MCd, cs, R)
+            y = solve_diag(r, my_chunks)
+            delta = jnp.zeros_like(xw).at[my_chunks].add(y - r)
+            # owner-computes: this device solved every tile's source chunk
+            contrib = _bmm(data.offdiag[my_tiles], y[my_slots])
+            delta = delta.at[data.tile_brow[my_tiles]].add(contrib)
+            # the one collective per level (the reference's latent
+            # per-chunk MPI barrier, SURVEY §3.2, batched per level)
+            xw = xw + lax.psum(delta, axis)
+            return xw, None
+
+        xw, _ = lax.scan(step, xw, (lc_me, lt_me, ls_me))
+        return xw
+
+    return run(xw, lc, lt, ls)
+
+
+def sharded_ldiv(
+    mesh: Mesh,
+    axis: str,
+    plan,  # SymbolicPlan
+    lsplan: ShardedTriPlan,
+    usplan: ShardedTriPlan,
+    ldata: TriKernelData,
+    udata: TriKernelData,
+    p: jax.Array,
+    qinv: jax.Array,
+    rs_p: jax.Array,
+    b: jax.Array,
+    *,
+    tri_mode: str = "trsm",
+) -> jax.Array:
+    """Full permute-scale → lsolve → rsolve → unpermute across the mesh
+    (reference ldiv! semantics, src:286-342)."""
+    n, cs = plan.n, plan.cs
+    wrk = rs_p[:, None] * b[p]
+    xw = block_rhs(wrk, n, plan.lplan.K, cs)
+    xw = sharded_blocked_tri_solve(
+        mesh, axis, plan.lplan, lsplan, ldata, xw, tri_mode=tri_mode
+    )
+    xw = sharded_blocked_tri_solve(
+        mesh, axis, plan.uplan, usplan, udata, xw, tri_mode=tri_mode
+    )
+    return unblock_rhs(xw, n)[qinv]
+
+
+def make_sharded_ldiv(F, mesh: Mesh, axis: str = "chunks"):
+    """Build a jitted mesh-parallel ``ldiv`` from a ``ParallelSparseLU``.
+
+    Returns ``solve(b)`` accepting ``(n,)`` or ``(n, R)``; the solve runs
+    level-striped over the mesh devices. Reuses F's packed tiles; call again
+    after a refactorization.
+    """
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    lsp = build_sharded_tri_plan(F.plan.lplan, D)
+    usp = build_sharded_tri_plan(F.plan.uplan, D)
+    plan = F.plan
+    tri_mode = F.config.tri_mode
+
+    prec = F.config.matmul_precision
+
+    @jax.jit
+    def run(ldata, udata, p, qinv, rs_p, b):
+        with jax.default_matmul_precision(prec):
+            return sharded_ldiv(
+                mesh, axis, plan, lsp, usp, ldata, udata, p, qinv, rs_p, b,
+                tri_mode=tri_mode,
+            )
+
+    def solve(b):
+        b = jnp.asarray(b, dtype=F.dtype)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        x = run(F.ldata, F.udata, F._p_dev, F._qinv_dev, F._rs_p_dev, b)
+        return x[:, 0] if squeeze else x
+
+    return solve

@@ -1,0 +1,381 @@
+"""Device-side same-pattern numeric refactorization (static pivots).
+
+The reference's ``lu!(F, A)`` delegates numeric-only refactorization to
+UMFPACK, reusing its symbolic analysis
+(/root/reference/src/SharedMemSparseLU.jl:245-279). The TPU-native
+equivalent keeps the *entire* numeric phase on device:
+
+* Pivot order ``p, q`` is frozen from the first (host) factorization — the
+  static-pivot prepass BASELINE.md specifies ("serial pivoting →
+  static-pivot symbolic prepass").
+* Host side (once): the chunk-grid tile pattern of ``B = (Rs·A)[p, q]`` is
+  closed under blocked elimination (tile-level symbolic fill), and every
+  per-step tile list (panel rows, panel cols, Schur updates) is emitted as
+  a static padded schedule.
+* Device side (every refactorization): recompute row scaling ``Rs``
+  (UMFPACK recomputes it per-``lu!`` too, src:263), scatter ``A``'s
+  nonzeros into the merged tile store, then run blocked right-looking LU as
+  a ``lax.scan`` over block steps — each step: dense no-pivot LU of the
+  diagonal tile, batched triangular solves for the row/column panels, and
+  one batched-matmul Schur complement update (MXU work).
+
+The factored tiles are extracted straight into the solve engine's
+(diag, negated-offdiag) layout, so a refactorization feeds subsequent
+``ldiv`` calls with zero host traffic.
+
+Accuracy note: no numerical pivoting happens during refactorization (the
+point of the static-pivot design); like cuSolverRF/NICSLU-style
+refactorization this assumes the new values don't demand a different pivot
+order. ``ParallelSparseLU.refactor`` (host path, re-pivoting) remains the
+fallback for hostile value changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax import lax
+
+from .solve import prepare_tri_kernel
+from .symbolic import TriPlan, plan_triangular
+
+__all__ = ["RefactorPlan", "build_refactor_plan", "refactor_same_pattern"]
+
+
+# ---------------------------------------------------------------------------
+# Host-side symbolic closure + schedule
+# ---------------------------------------------------------------------------
+
+
+def blocked_fill(tiles: set, K: int) -> set:
+    """Close a tile pattern under blocked elimination:
+    (i,k) and (k,j) present with i,j > k  ⇒  (i,j) present.
+    Also guarantees every diagonal tile."""
+    S = set(tiles)
+    for k in range(K):
+        S.add((k, k))
+    for k in range(K):
+        rows = [i for (i, c) in S if c == k and i > k]
+        cols = [j for (r, j) in S if r == k and j > k]
+        for i in rows:
+            for j in cols:
+                S.add((i, j))
+    return S
+
+
+@dataclasses.dataclass
+class RefactorPlan:
+    """Static schedule for the device-side blocked refactorization."""
+
+    n: int
+    cs: int
+    K: int
+    TF: int  # number of merged fill tiles (dummy id = TF)
+    # per-step padded schedules (dummy tile id TF pads everything)
+    diag_id: np.ndarray      # (K,) merged id of diagonal tile k
+    row_ids: np.ndarray      # (K, MR) merged ids of L-panel tiles (i, k)
+    col_ids: np.ndarray      # (K, MU) merged ids of U-panel tiles (k, j)
+    schur: np.ndarray        # (K, MS, 3) (dst, l_tile, u_tile) merged ids
+    # input scatter: for each nonzero of A (original CSC order), its flat
+    # destination in the merged (TF+1, cs, cs) store, and its original row
+    # (for the Rs gather); OOB dest = dropped
+    a_dest: np.ndarray       # (nnzA,)
+    a_rows: np.ndarray       # (nnzA,)
+    pad_eye: np.ndarray      # (TF+1, cs, cs) identity on padding diagonals
+    # extraction maps into the solve plans (built on the same closure)
+    l_off_src: np.ndarray    # (TL+1,) merged id per L-solve offdiag tile
+    u_off_src: np.ndarray    # (TU+1,) merged id per U-solve offdiag tile
+    diag_src: np.ndarray     # (K+1,) merged id per chunk's diagonal tile
+
+
+def _tile_pattern_of_permuted(
+    A: sp.csc_matrix, p: np.ndarray, q: np.ndarray, cs: int
+) -> Tuple[set, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tile pattern of B = A[p][:, q] plus per-nonzero block coordinates."""
+    A = sp.csc_matrix(A)
+    n = A.shape[0]
+    pinv = np.argsort(p)
+    qinv = np.argsort(q)
+    rows = A.indices
+    cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    bi = pinv[rows]  # row in B
+    bj = qinv[cols]  # col in B
+    ti = bi // cs
+    tj = bj // cs
+    tiles = set(zip(ti.tolist(), tj.tolist()))
+    return tiles, bi, bj, rows, cols
+
+
+def build_refactor_plan(
+    A_pattern: sp.csc_matrix,
+    p: np.ndarray,
+    q: np.ndarray,
+    cs: int,
+    solve_lplan: TriPlan,
+    solve_uplan: TriPlan,
+) -> RefactorPlan:
+    """Build the static refactorization schedule.
+
+    ``solve_lplan``/``solve_uplan`` must have been planned on the *same*
+    closure pattern (see :func:`closure_solve_plans`), so extraction maps
+    line up tile-for-tile.
+    """
+    n = A_pattern.shape[0]
+    K = -(-n // cs)
+    tiles, bi, bj, rows, _ = _tile_pattern_of_permuted(A_pattern, p, q, cs)
+    S = blocked_fill(tiles, K)
+
+    order = sorted(S)
+    tile_id: Dict[Tuple[int, int], int] = {t: i for i, t in enumerate(order)}
+    TF = len(order)
+
+    # --- per-step schedules -------------------------------------------------
+    rows_at = [[] for _ in range(K)]  # (i, k), i > k
+    cols_at = [[] for _ in range(K)]  # (k, j), j > k
+    for (i, j) in order:
+        if i > j:
+            rows_at[j].append(i)
+        elif i < j:
+            cols_at[i].append(j)
+    MR = max((len(r) for r in rows_at), default=1) or 1
+    MU = max((len(c) for c in cols_at), default=1) or 1
+    schur_at = []
+    for k in range(K):
+        upd = [
+            (tile_id[(i, j)], tile_id[(i, k)], tile_id[(k, j)])
+            for i in rows_at[k]
+            for j in cols_at[k]
+        ]
+        schur_at.append(upd)
+    MS = max((len(s) for s in schur_at), default=1) or 1
+
+    diag_id = np.array([tile_id[(k, k)] for k in range(K)], dtype=np.int32)
+    row_ids = np.full((K, MR), TF, dtype=np.int32)
+    col_ids = np.full((K, MU), TF, dtype=np.int32)
+    schur = np.full((K, MS, 3), TF, dtype=np.int32)
+    for k in range(K):
+        for a, i in enumerate(rows_at[k]):
+            row_ids[k, a] = tile_id[(i, k)]
+        for a, j in enumerate(cols_at[k]):
+            col_ids[k, a] = tile_id[(k, j)]
+        for a, u in enumerate(schur_at[k]):
+            schur[k, a] = u
+
+    # --- input scatter map --------------------------------------------------
+    t_of_nz = np.array(
+        [tile_id[(int(i), int(j))] for i, j in zip(bi // cs, bj // cs)],
+        dtype=np.int64,
+    )
+    a_dest = (t_of_nz * cs + (bi % cs)) * cs + (bj % cs)
+    a_rows = rows.astype(np.int32)
+
+    # --- padding identity ---------------------------------------------------
+    pad_eye = np.zeros((TF + 1, cs, cs), dtype=np.float64)
+    tail = n % cs
+    if tail:
+        kd = tile_id[(K - 1, K - 1)]
+        idx = np.arange(tail, cs)
+        pad_eye[kd, idx, idx] = 1.0
+    pad_eye[TF, np.arange(cs), np.arange(cs)] = 1.0
+
+    # --- extraction maps into the solve plans ------------------------------
+    def off_src(plan: TriPlan) -> np.ndarray:
+        src = np.full(plan.T + 1, TF, dtype=np.int32)
+        for t in range(plan.T):
+            src[t] = tile_id[(int(plan.tile_brow[t]), int(plan.tile_bcol[t]))]
+        return src
+
+    diag_src = np.array(
+        [tile_id[(k, k)] for k in range(K)] + [TF], dtype=np.int32
+    )
+    return RefactorPlan(
+        n=n,
+        cs=cs,
+        K=K,
+        TF=TF,
+        diag_id=diag_id,
+        row_ids=row_ids,
+        col_ids=col_ids,
+        schur=schur,
+        a_dest=a_dest,
+        a_rows=a_rows,
+        pad_eye=pad_eye,
+        l_off_src=off_src(solve_lplan),
+        u_off_src=off_src(solve_uplan),
+        diag_src=diag_src,
+    )
+
+
+def closure_solve_plans(
+    A_pattern: sp.csc_matrix,
+    factors_L: sp.csc_matrix,
+    factors_U: sp.csc_matrix,
+    p: np.ndarray,
+    q: np.ndarray,
+    cs: int,
+) -> Tuple[TriPlan, TriPlan]:
+    """Solve plans whose tile sets are the blocked closure of the permuted
+    input pattern — a superset of the factors' own tile patterns, so both
+    the host pack path and the device refactor path feed the same plans."""
+    n = A_pattern.shape[0]
+    K = -(-n // cs)
+    tiles, _, _, _, _ = _tile_pattern_of_permuted(A_pattern, p, q, cs)
+    S = blocked_fill(tiles, K)
+    extra_lower = [(i, j) for (i, j) in S if i > j]
+    extra_upper = [(i, j) for (i, j) in S if i < j]
+    lplan = plan_triangular(factors_L, cs, lower=True, extra_tiles=extra_lower)
+    uplan = plan_triangular(factors_U, cs, lower=False, extra_tiles=extra_upper)
+    return lplan, uplan
+
+
+# ---------------------------------------------------------------------------
+# Device-side numeric phase
+# ---------------------------------------------------------------------------
+
+
+def _lu_nopivot(D: jax.Array) -> jax.Array:
+    """Dense no-pivot LU of one cs x cs tile, in place: returns merged
+    L\\U (strict lower = L, upper incl. diag = U, unit diag implicit)."""
+    cs = D.shape[0]
+    ridx = lax.broadcasted_iota(jnp.int32, (cs, 1), 0)[:, 0]
+
+    def step(i, D):
+        piv = D[i, i]
+        col = D[:, i]
+        lower = ridx > i
+        l = jnp.where(lower, col / piv, 0.0)
+        urow = jnp.where((ridx > i)[None, :].reshape(1, cs), D[i, :], 0.0)
+        D = D - l[:, None] * urow
+        D = D.at[:, i].set(jnp.where(lower, l, D[:, i]))
+        return D
+
+    return lax.fori_loop(0, cs, step, D)
+
+
+@functools.partial(jax.jit, static_argnames=("cs",))
+def _blocked_elimination(tiles, diag_id, row_ids, col_ids, schur, *, cs: int):
+    """Right-looking blocked LU over the merged tile store.
+
+    Always full-f32 matmul passes: factorization error compounds into every
+    subsequent solve, so bf16 MXU shortcuts are never acceptable here.
+    """
+
+    def step(tiles, xs):
+        dk, rids, cids, sch = xs
+        # 1) diagonal tile: dense no-pivot LU
+        D = _lu_nopivot(tiles[dk])
+        tiles = tiles.at[dk].set(D)
+        # 2) row panel: L_ik = A_ik @ U_kk^{-1}  (solve X U = A)
+        Arow = tiles[rids]
+        Db = jnp.broadcast_to(D, Arow.shape)
+        X = lax.linalg.triangular_solve(
+            Db, Arow, left_side=False, lower=False, unit_diagonal=False
+        )
+        tiles = tiles.at[rids].set(X)
+        # 3) col panel: U_kj = L_kk^{-1} @ A_kj (unit lower solve)
+        Acol = tiles[cids]
+        Db2 = jnp.broadcast_to(D, Acol.shape)
+        Y = lax.linalg.triangular_solve(
+            Db2, Acol, left_side=True, lower=True, unit_diagonal=True
+        )
+        tiles = tiles.at[cids].set(Y)
+        # 4) Schur update: A_ij -= L_ik @ U_kj (batched MXU matmul)
+        dst, lt, ut = sch[:, 0], sch[:, 1], sch[:, 2]
+        prod = lax.dot_general(
+            tiles[lt],
+            tiles[ut],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=tiles.dtype,
+        )
+        tiles = tiles.at[dst].add(-prod)
+        return tiles, None
+
+    with jax.default_matmul_precision("highest"):
+        tiles, _ = lax.scan(step, tiles, (diag_id, row_ids, col_ids, schur))
+    return tiles
+
+
+@functools.partial(jax.jit, static_argnames=("n", "cs", "TF"))
+def _assemble_input(a_data, a_dest, a_rows, pad_eye, *, n: int, cs: int, TF: int):
+    """Rs recompute + scatter of (Rs·A)[p, q] into the merged tile store."""
+    absd = jnp.abs(a_data)
+    rowmax = jnp.zeros((n,), a_data.dtype).at[a_rows].max(absd)
+    rs = jnp.where(rowmax > 0, 1.0 / rowmax, 1.0)
+    vals = rs[a_rows] * a_data
+    flat = jnp.zeros(((TF + 1) * cs * cs,), a_data.dtype).at[a_dest].add(
+        vals, mode="drop"
+    )
+    tiles = flat.reshape(TF + 1, cs, cs) + pad_eye.astype(a_data.dtype)
+    return tiles, rs
+
+
+@functools.partial(jax.jit, static_argnames=("cs",))
+def _extract_solve_tiles(tiles, diag_src, l_off_src, u_off_src, *, cs: int):
+    """Merged L\\U tiles → solve-engine layout (negated offdiag, split diag)."""
+    eye = jnp.eye(cs, dtype=tiles.dtype)
+    diag = tiles[diag_src]
+    ldiag = jnp.tril(diag, -1) + eye[None]
+    udiag = jnp.triu(diag)
+    loff = -tiles[l_off_src]
+    uoff = -tiles[u_off_src]
+    return ldiag, udiag, loff, uoff
+
+
+def refactor_numeric_values(F, a_data: jax.Array) -> None:
+    """Jit-friendly core: refactorize from new nonzero values of A (device
+    array, original CSC order). Updates F's device solve state in place."""
+    rp: RefactorPlan = F._refactor_plan
+    tiles, rs = _assemble_input(
+        jnp.asarray(a_data, dtype=F.dtype),
+        jnp.asarray(rp.a_dest),
+        jnp.asarray(rp.a_rows),
+        jnp.asarray(rp.pad_eye),
+        n=rp.n,
+        cs=rp.cs,
+        TF=rp.TF,
+    )
+    tiles = _blocked_elimination(
+        tiles,
+        jnp.asarray(rp.diag_id),
+        jnp.asarray(rp.row_ids),
+        jnp.asarray(rp.col_ids),
+        jnp.asarray(rp.schur),
+        cs=rp.cs,
+    )
+    ldiag, udiag, loff, uoff = _extract_solve_tiles(
+        tiles,
+        jnp.asarray(rp.diag_src),
+        jnp.asarray(rp.l_off_src),
+        jnp.asarray(rp.u_off_src),
+        cs=rp.cs,
+    )
+    mode = F.config.tri_mode
+    F.ldata = prepare_tri_kernel(F.plan.lplan, ldiag, loff, tri_mode=mode)
+    F.udata = prepare_tri_kernel(F.plan.uplan, udiag, uoff, tri_mode=mode)
+    # Rs changed; p, q are static. rs is indexed by ORIGINAL row: Rs[p[i]].
+    F._rs_p_dev = rs[jnp.asarray(F.plan.p)].astype(F.dtype)
+    F._factors.Rs = np.asarray(rs, dtype=np.float64)
+    # refresh the device copy of A for residuals / iterative refinement
+    F._a_data_dev = jnp.asarray(a_data, dtype=F.dtype)
+
+
+def refactor_same_pattern(F, A: sp.csc_matrix) -> None:
+    """Entry point used by :meth:`ParallelSparseLU.refactor_numeric`."""
+    A = sp.csc_matrix(A)
+    A.sort_indices()
+    if not F.has_device_refactor:
+        F.enable_device_refactor()
+    sig = (A.indptr.tobytes(), A.indices.tobytes())
+    if sig != F._a_pattern_sig:
+        raise ValueError(
+            "refactor_numeric requires the same sparsity pattern as the "
+            "matrix this factorization was built from; use refactor() for "
+            "pattern changes (reference src:265-273 reallocate path)"
+        )
+    refactor_numeric_values(F, A.data)

@@ -1,0 +1,76 @@
+"""Solver configuration.
+
+The reference keeps configuration minimal: a single ``chunk_size`` kwarg
+(default 8, clamped to n — /root/reference/src/SharedMemSparseLU.jl:64-72)
+plus type parameters ``{Tf, Ti}``. We mirror that restraint with one small
+frozen dataclass; there is no global flag registry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static configuration for a :class:`ParallelSparseLU` factorization.
+
+    Attributes:
+      chunk_size: dense tile edge for the block decomposition of L and U
+        (the reference's ``chunk_size``, src:64-72). ``None`` → size-based
+        policy in :func:`default_chunk_size`.
+      tri_mode: how per-level diagonal-tile triangular systems are solved.
+        * ``"trsm"``      — batched ``lax.linalg.triangular_solve`` (exact,
+                            default; matches the reference's BLAS ``trsv!``,
+                            src:359/:384, to machine precision).
+        * ``"inv"``       — multiply by precomputed tile inverses: the whole
+                            solve becomes batched matmul (MXU-only hot path).
+        * ``"inv_refine"``— ``inv`` plus one residual-correction step per
+                            tile solve (backward-stable at ~2x the matmuls).
+      dtype: numeric dtype for factors and solves. ``None`` → inherit from
+        the input matrix (float64 when x64 is enabled, else float32).
+      matmul_precision: JAX matmul precision for all tile ops. TPU MXUs
+        multiply f32 inputs in bf16 by default; a level-scheduled solve
+        compounds that error across hundreds of dependent levels into O(1)
+        garbage (measured), so the default here is "highest" (full-f32
+        passes). "default" recovers raw bf16 speed for error-tolerant uses.
+      schedule: level-schedule execution style.
+        * ``"scan"``    — ``lax.scan`` over levels padded to the maximum
+                          level width (compact program; best for long, thin
+                          dependency chains such as banded matrices).
+        * ``"unrolled"``— Python-unrolled levels with exact ragged widths
+                          (no padding waste; best for wide, shallow DAGs).
+        * ``"auto"``    — pick per-plan by a padding-waste heuristic.
+    """
+
+    chunk_size: Optional[int] = None
+    tri_mode: str = "trsm"
+    dtype: Optional[str] = None
+    matmul_precision: str = "highest"
+    schedule: str = "auto"
+
+    def __post_init__(self):
+        if self.tri_mode not in ("trsm", "inv", "inv_refine"):
+            raise ValueError(f"unknown tri_mode: {self.tri_mode!r}")
+        if self.schedule not in ("scan", "unrolled", "auto"):
+            raise ValueError(f"unknown schedule: {self.schedule!r}")
+        if self.matmul_precision not in ("default", "high", "highest"):
+            raise ValueError(
+                f"unknown matmul_precision: {self.matmul_precision!r}"
+            )
+
+
+def default_chunk_size(n: int) -> int:
+    """Chunk-size policy when the user does not pass one.
+
+    The reference defaults to 8 and clamps to n (src:67-72). On TPU larger
+    tiles feed the MXU better, so we scale with problem size.
+    """
+    if n <= 256:
+        cs = 8
+    elif n <= 4096:
+        cs = 32
+    else:
+        cs = 64
+    return max(1, min(cs, n))
