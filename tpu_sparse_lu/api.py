@@ -165,17 +165,34 @@ class ParallelSparseLU:
             plan.uplan, np.asarray(self._factors.U.data, dtype=self.dtype)
         )
         mode = self.config.tri_mode
+        want_stream = self._pallas_eligible()
         with jax.default_matmul_precision(self.config.matmul_precision):
             self.ldata: TriKernelData = prepare_tri_kernel(
-                plan.lplan, ldiag, loff, tri_mode=mode
+                plan.lplan, ldiag, loff, tri_mode=mode,
+                build_pallas_stream=want_stream,
             )
             self.udata: TriKernelData = prepare_tri_kernel(
-                plan.uplan, udiag, uoff, tri_mode=mode
+                plan.uplan, udiag, uoff, tri_mode=mode,
+                build_pallas_stream=want_stream,
             )
         # permutation/scaling vectors for ldiv (src:324-339)
         self._p_dev = jnp.asarray(plan.p)
         self._qinv_dev = jnp.asarray(plan.qinv)
         self._rs_p_dev = jnp.asarray(plan.Rs[plan.p], dtype=self.dtype)
+
+    def _pallas_eligible(self) -> bool:
+        """Whether the fused Pallas kernel (ops/pallas_solve.py) can serve
+        this factorization's solves (final per-shape check at trace time)."""
+        from .ops.pallas_solve import supports_pallas
+
+        cfg = self.config.use_pallas
+        if cfg == "never":
+            return False
+        if self.config.tri_mode not in ("inv", "inv_refine"):
+            return False
+        if self.plan.cs % 128 != 0:
+            return False
+        return supports_pallas() or cfg == "always"
 
     # -- functional core (jitted per RHS shape) -----------------------------
     def _exe(self, kind: str):
@@ -194,19 +211,30 @@ class ParallelSparseLU:
                     return f(*a)
             return wrapped
 
+        pallas_ok = self._pallas_eligible()
+
+        def tri(tplan, tdata, xw):
+            # static (trace-time) dispatch between the fused Pallas kernel
+            # and the XLA scan path, per RHS width
+            if pallas_ok and tdata.off_stream is not None:
+                from .ops.pallas_solve import (
+                    pallas_tri_solve,
+                    supports_pallas_plan,
+                )
+
+                if supports_pallas_plan(tplan, xw.shape[-1]):
+                    return pallas_tri_solve(tplan, tdata, xw)
+            return blocked_tri_solve(
+                tplan, tdata, xw, tri_mode=mode, schedule=schedule
+            )
+
         def lsolve(ldata, b):
             xw = block_rhs(b, n, plan.lplan.K, cs)
-            xw = blocked_tri_solve(
-                plan.lplan, ldata, xw, tri_mode=mode, schedule=schedule
-            )
-            return unblock_rhs(xw, n)
+            return unblock_rhs(tri(plan.lplan, ldata, xw), n)
 
         def rsolve(udata, b):
             xw = block_rhs(b, n, plan.uplan.K, cs)
-            xw = blocked_tri_solve(
-                plan.uplan, udata, xw, tri_mode=mode, schedule=schedule
-            )
-            return unblock_rhs(xw, n)
+            return unblock_rhs(tri(plan.uplan, udata, xw), n)
 
         def ldiv(ldata, udata, p, qinv, rs_p, b):
             # wrk = (Rs .* b)[p]  (src:324-327)

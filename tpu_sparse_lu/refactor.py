@@ -356,8 +356,15 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
         cs=rp.cs,
     )
     mode = F.config.tri_mode
-    F.ldata = prepare_tri_kernel(F.plan.lplan, ldiag, loff, tri_mode=mode)
-    F.udata = prepare_tri_kernel(F.plan.uplan, udiag, uoff, tri_mode=mode)
+    want_stream = F._pallas_eligible()
+    F.ldata = prepare_tri_kernel(
+        F.plan.lplan, ldiag, loff, tri_mode=mode,
+        build_pallas_stream=want_stream,
+    )
+    F.udata = prepare_tri_kernel(
+        F.plan.uplan, udiag, uoff, tri_mode=mode,
+        build_pallas_stream=want_stream,
+    )
     # Rs changed; p, q are static. rs is indexed by ORIGINAL row: Rs[p[i]].
     F._rs_p_dev = rs[jnp.asarray(F.plan.p)].astype(F.dtype)
     F._factors.Rs = np.asarray(rs, dtype=np.float64)

@@ -49,6 +49,7 @@ class SolverConfig:
     dtype: Optional[str] = None
     matmul_precision: str = "highest"
     schedule: str = "auto"
+    use_pallas: str = "auto"  # "auto" | "always" | "never"
 
     def __post_init__(self):
         if self.tri_mode not in ("trsm", "inv", "inv_refine"):
@@ -59,6 +60,8 @@ class SolverConfig:
             raise ValueError(
                 f"unknown matmul_precision: {self.matmul_precision!r}"
             )
+        if self.use_pallas not in ("auto", "always", "never"):
+            raise ValueError(f"unknown use_pallas: {self.use_pallas!r}")
 
 
 def default_chunk_size(n: int) -> int:
