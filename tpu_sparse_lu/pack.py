@@ -26,15 +26,16 @@ __all__ = ["pack_factor", "pack_factor_np"]
 
 
 @functools.partial(jax.jit, static_argnames=("K", "T", "cs"))
-def _pack(nzval, diag_dest, offdiag_dest, pad_eye, *, K: int, T: int, cs: int):
+def _pack(nzval, diag_dest, offdiag_dest, pad_idx, *, K: int, T: int, cs: int):
     dtype = nzval.dtype
     diag_flat = jnp.zeros(((K + 1) * cs * cs,), dtype).at[diag_dest].add(
         nzval, mode="drop"
     )
+    diag_flat = diag_flat.at[pad_idx].add(jnp.asarray(1.0, dtype))
     off_flat = jnp.zeros(((T + 1) * cs * cs,), dtype).at[offdiag_dest].add(
         -nzval, mode="drop"
     )
-    diag = diag_flat.reshape(K + 1, cs, cs) + pad_eye.astype(dtype)
+    diag = diag_flat.reshape(K + 1, cs, cs)
     off = off_flat.reshape(T + 1, cs, cs)
     return diag, off
 
@@ -49,7 +50,7 @@ def pack_factor(plan: TriPlan, nzval):
         jnp.asarray(nzval),
         jnp.asarray(plan.diag_dest),
         jnp.asarray(plan.offdiag_dest),
-        jnp.asarray(plan.pad_eye),
+        jnp.asarray(plan.pad_idx),
         K=plan.K,
         T=plan.T,
         cs=plan.cs,
@@ -65,6 +66,7 @@ def pack_factor_np(plan: TriPlan, nzval):
     off = np.zeros(((T + 1) * cs * cs + 1,), dtype=nzval.dtype)
     np.add.at(diag, np.minimum(plan.diag_dest, (K + 1) * cs * cs), nzval)
     np.add.at(off, np.minimum(plan.offdiag_dest, (T + 1) * cs * cs), -nzval)
-    diag = diag[:-1].reshape(K + 1, cs, cs) + plan.pad_eye.astype(nzval.dtype)
+    diag[plan.pad_idx] += 1.0
+    diag = diag[:-1].reshape(K + 1, cs, cs)
     off = off[:-1].reshape(T + 1, cs, cs)
     return diag, off

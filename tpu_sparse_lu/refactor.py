@@ -56,16 +56,46 @@ __all__ = ["RefactorPlan", "build_refactor_plan", "refactor_same_pattern"]
 def blocked_fill(tiles: set, K: int) -> set:
     """Close a tile pattern under blocked elimination:
     (i,k) and (k,j) present with i,j > k  ⇒  (i,j) present.
-    Also guarantees every diagonal tile."""
+    Also guarantees every diagonal tile.
+
+    Uses the C++ core (utils/_symcore) when built — the pure-Python closure
+    is the dominant host cost at scale (22s at n=250k, ~0.1s native).
+    """
+    try:
+        from .utils import _symcore
+
+        if tiles:
+            br, bc = map(np.asarray, zip(*tiles))
+        else:
+            br = bc = np.zeros(0, dtype=np.int64)
+        r, c = _symcore.blocked_fill(
+            br.astype(np.int64), bc.astype(np.int64), K
+        )
+        return set(zip(r.tolist(), c.tolist()))
+    except ImportError:
+        pass
     S = set(tiles)
     for k in range(K):
         S.add((k, k))
+    # per-step adjacency so each step is O(|rows_k| * |cols_k|), not O(|S|)
+    col_of = [[] for _ in range(K)]
+    row_of = [[] for _ in range(K)]
+    for (i, j) in S:
+        if i > j:
+            col_of[j].append(i)
+        elif i < j:
+            row_of[i].append(j)
     for k in range(K):
-        rows = [i for (i, c) in S if c == k and i > k]
-        cols = [j for (r, j) in S if r == k and j > k]
+        rows = list(col_of[k])
+        cols = list(row_of[k])
         for i in rows:
             for j in cols:
-                S.add((i, j))
+                if (i, j) not in S:
+                    S.add((i, j))
+                    if i > j:
+                        col_of[j].append(i)
+                    else:
+                        row_of[i].append(j)
     return S
 
 
@@ -87,7 +117,7 @@ class RefactorPlan:
     # (for the Rs gather); OOB dest = dropped
     a_dest: np.ndarray       # (nnzA,)
     a_rows: np.ndarray       # (nnzA,)
-    pad_eye: np.ndarray      # (TF+1, cs, cs) identity on padding diagonals
+    pad_idx: np.ndarray      # flat indices of implicit-1.0 padding diagonals
     # extraction maps into the solve plans (built on the same closure)
     l_off_src: np.ndarray    # (TL+1,) merged id per L-solve offdiag tile
     u_off_src: np.ndarray    # (TU+1,) merged id per U-solve offdiag tile
@@ -168,21 +198,25 @@ def build_refactor_plan(
             schur[k, a] = u
 
     # --- input scatter map --------------------------------------------------
-    t_of_nz = np.array(
-        [tile_id[(int(i), int(j))] for i, j in zip(bi // cs, bj // cs)],
-        dtype=np.int64,
+    # `order` is lexicographically sorted, so keys are sorted: vectorised
+    # id lookup via searchsorted instead of a per-nonzero Python loop.
+    sorted_keys = np.array([i * K + j for (i, j) in order], dtype=np.int64)
+    t_of_nz = np.searchsorted(
+        sorted_keys, (bi // cs) * np.int64(K) + (bj // cs)
     )
     a_dest = (t_of_nz * cs + (bi % cs)) * cs + (bj % cs)
     a_rows = rows.astype(np.int32)
 
     # --- padding identity ---------------------------------------------------
-    pad_eye = np.zeros((TF + 1, cs, cs), dtype=np.float64)
     tail = n % cs
+    pads = []
     if tail:
         kd = tile_id[(K - 1, K - 1)]
-        idx = np.arange(tail, cs)
-        pad_eye[kd, idx, idx] = 1.0
-    pad_eye[TF, np.arange(cs), np.arange(cs)] = 1.0
+        idx = np.arange(tail, cs, dtype=np.int64)
+        pads.append((np.int64(kd) * cs + idx) * cs + idx)
+    idx = np.arange(cs, dtype=np.int64)
+    pads.append((np.int64(TF) * cs + idx) * cs + idx)
+    pad_idx = np.concatenate(pads)
 
     # --- extraction maps into the solve plans ------------------------------
     def off_src(plan: TriPlan) -> np.ndarray:
@@ -205,7 +239,7 @@ def build_refactor_plan(
         schur=schur,
         a_dest=a_dest,
         a_rows=a_rows,
-        pad_eye=pad_eye,
+        pad_idx=pad_idx,
         l_off_src=off_src(solve_lplan),
         u_off_src=off_src(solve_uplan),
         diag_src=diag_src,
@@ -302,7 +336,7 @@ def _blocked_elimination(tiles, diag_id, row_ids, col_ids, schur, *, cs: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "cs", "TF"))
-def _assemble_input(a_data, a_dest, a_rows, pad_eye, *, n: int, cs: int, TF: int):
+def _assemble_input(a_data, a_dest, a_rows, pad_idx, *, n: int, cs: int, TF: int):
     """Rs recompute + scatter of (Rs·A)[p, q] into the merged tile store."""
     absd = jnp.abs(a_data)
     rowmax = jnp.zeros((n,), a_data.dtype).at[a_rows].max(absd)
@@ -311,7 +345,8 @@ def _assemble_input(a_data, a_dest, a_rows, pad_eye, *, n: int, cs: int, TF: int
     flat = jnp.zeros(((TF + 1) * cs * cs,), a_data.dtype).at[a_dest].add(
         vals, mode="drop"
     )
-    tiles = flat.reshape(TF + 1, cs, cs) + pad_eye.astype(a_data.dtype)
+    flat = flat.at[pad_idx].add(jnp.asarray(1.0, a_data.dtype))
+    tiles = flat.reshape(TF + 1, cs, cs)
     return tiles, rs
 
 
@@ -335,7 +370,7 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
         jnp.asarray(a_data, dtype=F.dtype),
         jnp.asarray(rp.a_dest),
         jnp.asarray(rp.a_rows),
-        jnp.asarray(rp.pad_eye),
+        jnp.asarray(rp.pad_idx),
         n=rp.n,
         cs=rp.cs,
         TF=rp.TF,

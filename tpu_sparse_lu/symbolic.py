@@ -179,8 +179,10 @@ class TriPlan:
     # points at the dummy tile), following fill_chunks! (src:180-243).
     diag_dest: np.ndarray
     offdiag_dest: np.ndarray
-    # (K+1, cs, cs) float mask adding 1.0 on padding diagonal positions
-    pad_eye: np.ndarray
+    # flat indices (into the (K+1)*cs*cs diag buffer) of padding diagonal
+    # positions that receive an implicit 1.0 (tail rows of the last real
+    # chunk + the whole dummy tile) — kept as indices, not a dense mask
+    pad_idx: np.ndarray
     # per-level real widths, for the ragged (unrolled) schedule
     level_chunk_counts: np.ndarray
     level_tile_counts: np.ndarray
@@ -203,6 +205,36 @@ class TriPlan:
         sched = self.level_chunks.size + self.level_tiles.size
         real = self.K + self.T
         return 1.0 - real / max(sched, 1)
+
+
+def _level_schedule(ub: np.ndarray, uc: np.ndarray, K: int, lower: bool) -> np.ndarray:
+    """Longest-path level of each chunk in the tile DAG.
+
+    ``ub``/``uc`` are tile (brow, bcol) sorted by brow, so each chunk's
+    dependency list is a contiguous run. Uses the C++ core when available
+    (utils/_symcore), else a vectorised NumPy recurrence.
+    """
+    level = np.zeros(K, dtype=np.int64)
+    if K == 0 or ub.size == 0:
+        return level
+    try:
+        from .utils import _symcore
+
+        return _symcore.level_schedule(
+            np.ascontiguousarray(ub, dtype=np.int64),
+            np.ascontiguousarray(uc, dtype=np.int64),
+            K,
+            bool(lower),
+        )
+    except ImportError:
+        pass
+    starts = np.searchsorted(ub, np.arange(K + 1))
+    order = range(K) if lower else range(K - 1, -1, -1)
+    for k in order:
+        s, e = starts[k], starts[k + 1]
+        if e > s:
+            level[k] = level[uc[s:e]].max() + 1
+    return level
 
 
 def plan_triangular(
@@ -239,50 +271,37 @@ def plan_triangular(
         )
 
     # --- off-diagonal tiles -------------------------------------------------
-    od_pairs = np.stack([brow[offdiag_mask], bcol[offdiag_mask]], axis=1)
+    # Tiles are keyed as brow*K + bcol; np.unique on keys replaces any
+    # per-nonzero Python loop (23s -> ms at n=250k).
+    od_keys = brow[offdiag_mask] * np.int64(K) + bcol[offdiag_mask]
     if extra_tiles is not None:
         extra = np.asarray(sorted(set(map(tuple, extra_tiles))), dtype=np.int64)
         if extra.size:
             bad = extra[:, 0] <= extra[:, 1] if lower else extra[:, 0] >= extra[:, 1]
             if np.any(bad):
                 raise ValueError("extra_tiles on the wrong side of the diagonal")
-            od_pairs = np.concatenate([od_pairs, extra], axis=0)
-    if od_pairs.shape[0]:
-        uniq = np.unique(od_pairs, axis=0)
-    else:
-        uniq = np.zeros((0, 2), dtype=np.int64)
-    T = uniq.shape[0]
-    tile_brow = np.concatenate([uniq[:, 0], [K]]).astype(np.int32)
-    tile_bcol = np.concatenate([uniq[:, 1], [K]]).astype(np.int32)
-    # map (brow, bcol) -> tile id
-    tile_id: Dict[Tuple[int, int], int] = {
-        (int(r), int(c)): i for i, (r, c) in enumerate(uniq)
-    }
+            od_keys = np.concatenate([od_keys, extra[:, 0] * np.int64(K) + extra[:, 1]])
+    uniq_keys = np.unique(od_keys)
+    T = uniq_keys.shape[0]
+    ub = uniq_keys // K
+    uc = uniq_keys % K
+    tile_brow = np.concatenate([ub, [K]]).astype(np.int32)
+    tile_bcol = np.concatenate([uc, [K]]).astype(np.int32)
 
     # --- level schedule over the chunk DAG ---------------------------------
     # deps[k] = {bcol of tiles with brow == k} for lower (sources solved
     # earlier); for upper, same formula (sources have larger index) but the
-    # longest-path recurrence walks chunks in reverse.
-    level = np.zeros(K, dtype=np.int64)
-    order = range(K) if lower else range(K - 1, -1, -1)
-    deps_by_row: Dict[int, list] = {}
-    for (r, c), _ in tile_id.items():
-        deps_by_row.setdefault(r, []).append(c)
-    for k in order:
-        lk = 0
-        for c in deps_by_row.get(k, ()):
-            lk = max(lk, level[c] + 1)
-        level[k] = lk
+    # longest-path recurrence walks chunks in reverse. uniq_keys is sorted
+    # by brow, so per-chunk dep lists are contiguous runs.
+    level = _level_schedule(ub, uc, K, lower)
     NL = int(level.max()) + 1 if K else 1
 
     chunks_at = [np.nonzero(level == l)[0] for l in range(NL)]
     # tiles grouped by the level of their *source* chunk (push-style: a
     # chunk's outgoing updates apply right after its tri-solve, the
     # reference's gemm step, src:362-363, batched per level).
-    tiles_at = [[] for _ in range(NL)]
-    for (r, c), t in tile_id.items():
-        tiles_at[int(level[c])].append(t)
-    tiles_at = [np.asarray(sorted(ts), dtype=np.int64) for ts in tiles_at]
+    src_level = level[uc] if T else np.zeros(0, dtype=np.int64)
+    tiles_at = [np.nonzero(src_level == l)[0] for l in range(NL)]
 
     MC = max((len(c) for c in chunks_at), default=1) or 1
     MT = max((len(t) for t in tiles_at), default=1) or 1
@@ -306,19 +325,21 @@ def plan_triangular(
     diag_dest[dsel] = (brow[dsel] * cs + lr[dsel]) * cs + lc[dsel]
     osel = offdiag_mask
     if np.any(osel):
-        t_of_nz = np.array(
-            [tile_id[(int(r), int(c))] for r, c in zip(brow[osel], bcol[osel])],
-            dtype=np.int64,
+        # tile id of each nonzero = position of its key in sorted uniq_keys
+        t_of_nz = np.searchsorted(
+            uniq_keys, brow[osel] * np.int64(K) + bcol[osel]
         )
         offdiag_dest[osel] = (t_of_nz * cs + lr[osel]) * cs + lc[osel]
 
     # --- padding identity for diagonal tiles --------------------------------
-    pad_eye = np.zeros((K + 1, cs, cs), dtype=np.float64)
     tail = n % cs
+    pads = []
     if tail:
-        idx = np.arange(tail, cs)
-        pad_eye[K - 1, idx, idx] = 1.0
-    pad_eye[K, np.arange(cs), np.arange(cs)] = 1.0  # dummy tile = I
+        idx = np.arange(tail, cs, dtype=np.int64)
+        pads.append(((K - 1) * cs + idx) * cs + idx)
+    idx = np.arange(cs, dtype=np.int64)
+    pads.append((np.int64(K) * cs + idx) * cs + idx)  # dummy tile = I
+    pad_idx = np.concatenate(pads)
 
     return TriPlan(
         n=n,
@@ -332,7 +353,7 @@ def plan_triangular(
         level_tiles=level_tiles,
         diag_dest=diag_dest,
         offdiag_dest=offdiag_dest,
-        pad_eye=pad_eye,
+        pad_idx=pad_idx,
         level_chunk_counts=level_chunk_counts,
         level_tile_counts=level_tile_counts,
     )
