@@ -1,21 +1,24 @@
-"""Benchmark harness (SURVEY.md §6, M4).
+"""Benchmark harness (SURVEY.md §6, M4) — the five BASELINE.json configs.
 
-Measures repeated-solve throughput in factor-nonzeros/second — the
-BASELINE.json headline metric — on the 2D Poisson config (BASELINE
-config 4) and compares against the reference-equivalent algorithm on this
-host: SuperLU factor + solve via scipy (the reference delegates to
-UMFPACK + chunked BLAS, SURVEY.md C8/C9; no numbers are published so the
-baseline is measured locally, per SURVEY.md §6).
+Default run (what the driver records): config 4, the 2D Poisson
+level-scheduled solve, printing ONE JSON line
+  {"metric": "poisson100_ldiv_throughput", "value": N, "unit": "nnz/s",
+   "vs_baseline": N}
+against the reference-equivalent algorithm measured locally (SuperLU
+factor + solve via scipy — the reference delegates to UMFPACK + chunked
+BLAS, SURVEY.md C8/C9, and publishes no numbers of its own).
+
+``python bench.py --all`` additionally runs configs 1-3 and 5 and writes
+the detail to BENCH_DETAIL.json. ``--config N`` runs a single config.
 
 Timing method: N solves chained INSIDE one jit (x_{i+1} = solve(x_i)) with
-a single device sync — how a real PDE time-stepper embeds the solve, and
+a single forced sync — how a real PDE time-stepper embeds the solve, and
 the only honest timing through an RPC-tunneled device (per-dispatch
-overhead here is ~0.7 ms, several times the solve itself).
-
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "nnz/s", "vs_baseline": N}
+overhead here is ~0.7 ms, several times the solve itself;
+block_until_ready does not sync through the tunnel).
 """
 
+import argparse
 import json
 import sys
 import time
@@ -24,92 +27,227 @@ import numpy as np
 import scipy.sparse.linalg as spla
 
 N_CHAIN = 32
-NRHS = 16
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def _chain_time(exe_args_fn, b, reps=5):
+    """Median seconds per solve, N_CHAIN solves chained inside one jit."""
+    import jax
+    from jax import lax
+
+    f, args = exe_args_fn
+
+    @jax.jit
+    def chain(b, *args):
+        return lax.fori_loop(0, N_CHAIN, lambda i, v: f(v, *args), b)
+
+    np.asarray(chain(b, *args))  # compile + warmup
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(chain(b, *args))
+        ts.append((time.perf_counter() - t0) / N_CHAIN)
+    return float(np.median(ts))
+
+
+def _ldiv_fn(F):
+    exe = F._exe("ldiv")
+    args = (F.ldata, F.udata, F._pperm, F._qperm, F._rs_blk)
+    return (lambda v, *a: exe(a[0], a[1], a[2], a[3], a[4], v)), args
+
+
+def _scipy_panel_time(A, R, reps=20):
+    lu = spla.splu(A.tocsc())
+    bb = np.random.default_rng(1).random((A.shape[0], R))
+    lu.solve(bb)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        lu.solve(bb)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _make_F(A, cs, **kw):
+    from tpu_sparse_lu import ParallelSparseLU, SolverConfig
+
+    cfg = SolverConfig(chunk_size=cs, tri_mode="inv", dtype="float32", **kw)
+    return ParallelSparseLU(A, config=cfg)
+
+
+def _check_residual(F, A, b, tol=1e-3):
+    """Normwise backward error ||Ax-b|| / (||A|| ||x|| + ||b||): ~eps for a
+    backward-stable solve regardless of conditioning (the relative-to-b
+    residual scales with kappa(A) and is meaningless for e.g. the 1D
+    Laplacian at n=20k, kappa ~ 4e8, in fp32)."""
+    x = np.asarray(F.ldiv(b))
+    bn = np.asarray(b)
+    r = np.linalg.norm(A @ x - bn) / (
+        spla.norm(A) * np.linalg.norm(x) + np.linalg.norm(bn)
+    )
+    assert r < tol, f"solve inaccurate: backward error {r}"
+    return r
+
+
+def bench_config(cfg_id: int) -> dict:
     import jax
     import jax.numpy as jnp
-    from jax import lax
+
+    from tpu_sparse_lu.models import (
+        block_banded,
+        laplacian_1d,
+        poisson_2d,
+        random_sparse,
+    )
+
+    rng = np.random.default_rng(0)
+
+    if cfg_id == 1:
+        # 1D Laplacian tridiagonal, single RHS
+        A = laplacian_1d(20000)
+        F = _make_F(A, 128)
+        b = jnp.asarray(rng.random((A.shape[0], 1)), dtype=jnp.float32)
+        resid = _check_residual(F, A, b)
+        t = _chain_time(_ldiv_fn(F), b)
+        nnz = F.L.nnz + F.U.nnz
+        t_base = _scipy_panel_time(A, 1)
+        return dict(config="laplace1d_single_rhs", n=A.shape[0], nnz_lu=nnz,
+                    t_ours=t, t_scipy=t_base, resid=resid,
+                    nnz_per_s=nnz / t, vs_baseline=t_base / t)
+
+    if cfg_id == 2:
+        # repeated same-sparsity refactorization (device-side lu! reuse)
+        from tpu_sparse_lu.refactor import refactor_numeric_values
+
+        A = poisson_2d(60, 60)
+        F = _make_F(A, 128)
+        F.enable_device_refactor()
+        data0 = jnp.asarray(A.data, dtype=jnp.float32)
+        refactor_numeric_values(F, data0)  # builds/caches jits
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            refactor_numeric_values(F, data0)
+            jax.block_until_ready(F.ldata.diag)
+            np.asarray(F.ldata.diag[0])  # force sync through tunnel
+            ts.append(time.perf_counter() - t0)
+        t = float(np.median(ts))
+        # scipy baseline: full splu factorization (it has no numeric-only path)
+        ts_b = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spla.splu(A.tocsc())
+            ts_b.append(time.perf_counter() - t0)
+        t_base = float(np.median(ts_b))
+        nnz = F.L.nnz + F.U.nnz
+        return dict(config="refactor_same_pattern", n=A.shape[0], nnz_lu=nnz,
+                    t_ours=t, t_scipy=t_base,
+                    nnz_per_s=nnz / t, vs_baseline=t_base / t)
+
+    if cfg_id == 3:
+        # multi-RHS SpSM on a random sparse matrix
+        A = random_sparse(rng, 4096, density=0.002)
+        R = 64
+        F = _make_F(A, 128)
+        b = jnp.asarray(rng.random((A.shape[0], R)), dtype=jnp.float32)
+        resid = _check_residual(F, A, b)
+        t = _chain_time(_ldiv_fn(F), b)
+        nnz = F.L.nnz + F.U.nnz
+        t_base = _scipy_panel_time(A, R)
+        return dict(config="spsm_multi_rhs", n=A.shape[0], R=R, nnz_lu=nnz,
+                    t_ours=t, t_scipy=t_base, resid=resid,
+                    nnz_per_s=nnz * R / t, vs_baseline=t_base / t)
+
+    if cfg_id == 4:
+        # 2D Poisson 5-point, level-scheduled solve (HEADLINE)
+        A = poisson_2d(100, 100)
+        R = 16
+        F = _make_F(A, 128)
+        log(f"config4: n={A.shape[0]} nnzLU={F.L.nnz + F.U.nnz} "
+            f"levels={F.plan.lplan.num_levels}/{F.plan.uplan.num_levels} "
+            f"pallas={F._pallas_eligible()}")
+        b = jnp.asarray(rng.random((A.shape[0], R)), dtype=jnp.float32)
+        resid = _check_residual(F, A, b)
+        t = _chain_time(_ldiv_fn(F), b)
+        nnz = F.L.nnz + F.U.nnz
+        t_base = _scipy_panel_time(A, R)
+        log(f"config4: ours {t*1e3:.3f} ms, scipy {t_base*1e3:.3f} ms, "
+            f"resid {resid:.2e}")
+        return dict(config="poisson100_ldiv_throughput", n=A.shape[0], R=R,
+                    nnz_lu=nnz, t_ours=t, t_scipy=t_base, resid=resid,
+                    nnz_per_s=nnz * R / t, vs_baseline=t_base / t)
+
+    if cfg_id == 5:
+        # block-banded matrix, row-partitioned across N>=2 devices
+        from tpu_sparse_lu.parallel.mesh import make_mesh
+        from tpu_sparse_lu.parallel.sharded_solve import make_sharded_ldiv
+
+        ndev = len(jax.devices())
+        A = block_banded(rng, 160, 32)
+        R = 16
+        F = _make_F(A, 128)
+        b = jnp.asarray(rng.random((A.shape[0], R)), dtype=jnp.float32)
+        out = dict(config="block_banded_sharded", n=A.shape[0], R=R,
+                   n_devices=ndev, nnz_lu=F.L.nnz + F.U.nnz)
+        t1 = _chain_time(_ldiv_fn(F), b)
+        out["t_single"] = t1
+        if ndev >= 2:
+            solve = make_sharded_ldiv(F, make_mesh(ndev))
+            np.asarray(solve(b))
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(solve(b))
+                ts.append(time.perf_counter() - t0)
+            tN = float(np.median(ts))
+            out["t_sharded"] = tN
+            out["scaling_efficiency"] = t1 / (tN * ndev)
+        else:
+            out["note"] = "single device: sharded path covered by tests on a virtual mesh"
+        return out
+
+    raise ValueError(cfg_id)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=None)
+    ap.add_argument("--all", action="store_true")
+    args = ap.parse_args()
+
+    import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu_sparse_lu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-    from tpu_sparse_lu import ParallelSparseLU, SolverConfig
-    from tpu_sparse_lu.models import poisson_2d
-
     dev = jax.devices()[0]
     log(f"device: {dev.platform} ({dev.device_kind})")
 
-    nx = ny = 100  # n = 10_000
-    A = poisson_2d(nx, ny)
-    n = A.shape[0]
-
-    cfg = SolverConfig(chunk_size=128, tri_mode="inv", dtype="float32")
-    t0 = time.perf_counter()
-    F = ParallelSparseLU(A, config=cfg)
-    log(f"factor+plan: {time.perf_counter() - t0:.2f}s  "
-        f"n={n} nnzLU={F.L.nnz + F.U.nnz} "
-        f"levels L={F.plan.lplan.num_levels} U={F.plan.uplan.num_levels} "
-        f"K={F.plan.lplan.K} pallas={F._pallas_eligible()}")
-
-    rng = np.random.default_rng(0)
-    b = jax.device_put(np.asarray(rng.random((n, NRHS)), dtype=np.float32))
-
-    # correctness guard before timing
-    x = np.asarray(F.ldiv(b))
-    resid = np.linalg.norm(A @ x - np.asarray(b)) / np.linalg.norm(np.asarray(b))
-    log(f"relative residual: {resid:.2e}")
-    assert resid < 1e-3, f"solve inaccurate: {resid}"
-
-    # chained in-jit timing
-    exe = F._exe("ldiv")
-    args = (F.ldata, F.udata, F._p_dev, F._qinv_dev, F._rs_p_dev)
-
-    @jax.jit
-    def chain(ldata, udata, p, qinv, rs_p, b):
-        def body(i, v):
-            return exe(ldata, udata, p, qinv, rs_p, v)  # inlined nested jit
-        return lax.fori_loop(0, N_CHAIN, body, b)
-
-    np.asarray(chain(*args, b))  # compile + warmup
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(chain(*args, b))
-        ts.append((time.perf_counter() - t0) / N_CHAIN)
-    t_ours = float(np.median(ts))
-
-    nnz_lu = F.L.nnz + F.U.nnz
-    value = nnz_lu * NRHS / t_ours
-    log(f"ours: {t_ours*1e3:.3f} ms / {NRHS}-RHS ldiv -> {value:.3e} nnz/s")
-
-    # --- reference-equivalent baseline: SuperLU factor once, solve many ----
-    lu = spla.splu(A.tocsc())
-    bb = np.asarray(rng.random((n, NRHS)))
-
-    def base():
-        return lu.solve(bb)
-
-    base()
-    tsb = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        base()
-        tsb.append(time.perf_counter() - t0)
-    t_base = float(np.median(tsb))
-    base_value = nnz_lu * NRHS / t_base
-    log(f"scipy splu baseline: {t_base*1e3:.3f} ms -> {base_value:.3e} nnz/s")
+    if args.all:
+        detail = {}
+        for c in (1, 2, 3, 4, 5):
+            try:
+                detail[c] = bench_config(c)
+                log(f"config {c}: {detail[c]}")
+            except Exception as e:  # keep the suite going
+                detail[c] = {"error": str(e)}
+                log(f"config {c} FAILED: {e}")
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f, indent=2)
+        r = detail.get(4, {})
+    elif args.config:
+        r = bench_config(args.config)
+        log(json.dumps(r, indent=2))
+    else:
+        r = bench_config(4)
 
     print(json.dumps({
         "metric": "poisson100_ldiv_throughput",
-        "value": value,
+        "value": r.get("nnz_per_s", 0.0),
         "unit": "nnz/s",
-        "vs_baseline": value / base_value,
+        "vs_baseline": r.get("vs_baseline", 0.0),
     }))
 
 

@@ -175,10 +175,20 @@ class ParallelSparseLU:
                 plan.uplan, udiag, uoff, tri_mode=mode,
                 build_pallas_stream=want_stream,
             )
-        # permutation/scaling vectors for ldiv (src:324-339)
+        # permutation/scaling for ldiv (src:324-339): block-one-hot matmul
+        # plans (ops/permute.py — TPU row-gather is serialized and slow),
+        # plus the plain vectors for the sharded path
+        from .ops.permute import build_perm_plan
+
         self._p_dev = jnp.asarray(plan.p)
         self._qinv_dev = jnp.asarray(plan.qinv)
         self._rs_p_dev = jnp.asarray(plan.Rs[plan.p], dtype=self.dtype)
+        n, cs, K = plan.n, plan.cs, plan.lplan.K
+        self._pperm = build_perm_plan(plan.p, n, cs)
+        self._qperm = build_perm_plan(plan.qinv, n, cs)
+        rs_p = np.zeros(K * cs + cs, dtype=self.dtype)
+        rs_p[:n] = plan.Rs[plan.p]
+        self._rs_blk = jnp.asarray(rs_p.reshape(K + 1, cs, 1))
 
     def _pallas_eligible(self) -> bool:
         """Whether the fused Pallas kernel (ops/pallas_solve.py) can serve
@@ -236,12 +246,17 @@ class ParallelSparseLU:
             xw = block_rhs(b, n, plan.uplan.K, cs)
             return unblock_rhs(tri(plan.uplan, udata, xw), n)
 
-        def ldiv(ldata, udata, p, qinv, rs_p, b):
-            # wrk = (Rs .* b)[p]  (src:324-327)
-            wrk = rs_p[:, None] * b[p]
-            wrk = lsolve(ldata, wrk)  # forward substitution (src:330)
-            wrk = rsolve(udata, wrk)  # backward substitution (src:333)
-            return wrk[qinv]  # un-pivot: x[q] = wrk (src:337-339)
+        def ldiv(ldata, udata, pperm, qperm, rs_blk, b):
+            from .ops.permute import apply_perm
+
+            xw = block_rhs(b, n, plan.lplan.K, cs)
+            # wrk = (Rs .* b)[p]  (src:324-327) — as block-one-hot matmul
+            xw = apply_perm(pperm, xw) * rs_blk
+            xw = tri(plan.lplan, ldata, xw)  # forward subst. (src:330)
+            xw = tri(plan.uplan, udata, xw)  # backward subst. (src:333)
+            # un-pivot: x[q] = wrk  (src:337-339)
+            xw = apply_perm(qperm, xw)
+            return unblock_rhs(xw, n)
 
         fns = {
             "lsolve": jax.jit(_prec(lsolve)),
@@ -290,8 +305,8 @@ class ParallelSparseLU:
             raise ValueError(f"`F` is not square: m={self.m}, n={self.n}")
         b, squeeze = self._as_rhs(b)
         exe = self._exe("ldiv")
-        args = (self.ldata, self.udata, self._p_dev, self._qinv_dev,
-                self._rs_p_dev)
+        args = (self.ldata, self.udata, self._pperm, self._qperm,
+                self._rs_blk)
         x = exe(*args, b)
         for _ in range(refine_steps):
             r = b - self.matvec(x)

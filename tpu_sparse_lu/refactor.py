@@ -352,13 +352,18 @@ def _assemble_input(a_data, a_dest, a_rows, pad_idx, *, n: int, cs: int, TF: int
 
 @functools.partial(jax.jit, static_argnames=("cs",))
 def _extract_solve_tiles(tiles, diag_src, l_off_src, u_off_src, *, cs: int):
-    """Merged L\\U tiles → solve-engine layout (negated offdiag, split diag)."""
+    """Merged L\\U tiles → solve-engine layout (negated offdiag, split diag).
+
+    The elimination's padded panel/Schur slots write garbage (up to inf)
+    into the dummy merged tile by design; scrub the dummy slots here so
+    the solve engines see exactly identity / zero (0*inf = nan would
+    otherwise leak through the padded batched ops)."""
     eye = jnp.eye(cs, dtype=tiles.dtype)
     diag = tiles[diag_src]
-    ldiag = jnp.tril(diag, -1) + eye[None]
-    udiag = jnp.triu(diag)
-    loff = -tiles[l_off_src]
-    uoff = -tiles[u_off_src]
+    ldiag = (jnp.tril(diag, -1) + eye[None]).at[-1].set(eye)
+    udiag = jnp.triu(diag).at[-1].set(eye)
+    loff = (-tiles[l_off_src]).at[-1].set(0.0)
+    uoff = (-tiles[u_off_src]).at[-1].set(0.0)
     return ldiag, udiag, loff, uoff
 
 
@@ -402,6 +407,9 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
     )
     # Rs changed; p, q are static. rs is indexed by ORIGINAL row: Rs[p[i]].
     F._rs_p_dev = rs[jnp.asarray(F.plan.p)].astype(F.dtype)
+    n, cs, K = rp.n, rp.cs, rp.K
+    rs_pad = jnp.zeros((K * cs + cs,), F.dtype).at[:n].set(F._rs_p_dev)
+    F._rs_blk = rs_pad.reshape(K + 1, cs, 1)
     F._factors.Rs = np.asarray(rs, dtype=np.float64)
     # refresh the device copy of A for residuals / iterative refinement
     F._a_data_dev = jnp.asarray(a_data, dtype=F.dtype)
