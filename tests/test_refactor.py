@@ -120,3 +120,21 @@ def test_refactor_numeric_tri_modes(rng, tri_mode):
     F.refactor_numeric(A2)
     b = rng.random(A.shape[0])
     assert_isapprox(np.asarray(F.ldiv(b)), spla.spsolve(A2, b), rtol=TOL, atol=TOL)
+
+
+def test_fused_refactor_solve_step(rng):
+    """make_refactor_solve_step: one jitted program doing device
+    refactorization + full ldiv, matching the two-call path."""
+    A = poisson_2d(8, 8)
+    n = A.shape[0]
+    F = ParallelSparseLU(A, chunk_size=8)
+    step = F.make_refactor_solve_step()
+    A2 = _perturb_values(rng, A, scale=0.05)
+    b = rng.random((n, 3))
+    x = np.asarray(step(A2.data, b))
+    for j in range(3):
+        assert_isapprox(x[:, j], spla.spsolve(A2, b[:, j]), rtol=TOL, atol=TOL)
+    # F's cached state untouched: plain ldiv still solves the ORIGINAL A
+    b1 = rng.random(n)
+    assert_isapprox(np.asarray(F.ldiv(b1)), spla.spsolve(A, b1),
+                    rtol=TOL, atol=TOL)

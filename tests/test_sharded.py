@@ -78,3 +78,19 @@ def test_allocate_shared():
     x = allocate_shared((64, 8), mesh=mesh)
     assert x.shape == (64, 8)
     assert float(x.sum()) == 0.0
+
+
+def test_dp_multi_rhs_sharding(rng):
+    """RHS-axis data parallelism (SURVEY §2.2 DP row): panel columns
+    sharded over the mesh, zero collectives, matches single-device."""
+    from tpu_sparse_lu.parallel.dp import make_dp_ldiv
+
+    A = poisson_2d(10, 10)
+    n = A.shape[0]
+    F = ParallelSparseLU(A, chunk_size=8)
+    mesh = make_mesh(8)
+    solve = make_dp_ldiv(F, mesh)
+    B = rng.random((n, 16))
+    X = np.asarray(solve(B))
+    X1 = np.asarray(F.ldiv(B))
+    np.testing.assert_allclose(X, X1, rtol=1e-13, atol=1e-13)

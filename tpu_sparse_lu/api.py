@@ -143,7 +143,11 @@ class ParallelSparseLU:
 
     @property
     def Rs(self) -> np.ndarray:
-        return self._factors.Rs
+        rs = self._factors.Rs
+        if not isinstance(rs, np.ndarray):  # device array after a device
+            rs = np.asarray(rs, dtype=np.float64)  # refactorization
+            self._factors.Rs = rs
+        return rs
 
     @property
     def chunk_size(self) -> int:
@@ -186,9 +190,12 @@ class ParallelSparseLU:
         n, cs, K = plan.n, plan.cs, plan.lplan.K
         self._pperm = build_perm_plan(plan.p, n, cs)
         self._qperm = build_perm_plan(plan.qinv, n, cs)
-        rs_p = np.zeros(K * cs + cs, dtype=self.dtype)
-        rs_p[:n] = plan.Rs[plan.p]
-        self._rs_blk = jnp.asarray(rs_p.reshape(K + 1, cs, 1))
+        # Rs in ORIGINAL row order: the scale is applied before the row
+        # permutation ((Rs .* b)[p] == P(Rs ⊙ b)), which keeps the
+        # refactorization path free of any Rs[p] gather.
+        rs = np.zeros(K * cs + cs, dtype=self.dtype)
+        rs[:n] = plan.Rs
+        self._rs_blk = jnp.asarray(rs.reshape(K + 1, cs, 1))
 
     def _pallas_eligible(self) -> bool:
         """Whether the fused Pallas kernel (ops/pallas_solve.py) can serve
@@ -250,8 +257,9 @@ class ParallelSparseLU:
             from .ops.permute import apply_perm
 
             xw = block_rhs(b, n, plan.lplan.K, cs)
-            # wrk = (Rs .* b)[p]  (src:324-327) — as block-one-hot matmul
-            xw = apply_perm(pperm, xw) * rs_blk
+            # wrk = (Rs .* b)[p] == P(Rs ⊙ b)  (src:324-327) — scale in
+            # original order, then permute via block-one-hot matmul
+            xw = apply_perm(pperm, xw * rs_blk)
             xw = tri(plan.lplan, ldata, xw)  # forward subst. (src:330)
             xw = tri(plan.uplan, udata, xw)  # backward subst. (src:333)
             # un-pivot: x[q] = wrk  (src:337-339)
@@ -384,6 +392,23 @@ class ParallelSparseLU:
         self._refactor_plan = build_refactor_plan(
             A_pat, self._factors.p, self._factors.q, self.plan.cs, lplan, uplan
         )
+        # one-time upload of the static schedule (the fused refactor
+        # pipeline takes these as device-resident arguments)
+        rp = self._refactor_plan
+        self._refactor_dev = {
+            "a_dest": jnp.asarray(rp.a_dest),
+            "a_rows": jnp.asarray(rp.a_rows),
+            "pad_idx": jnp.asarray(rp.pad_idx),
+            "diag_id": jnp.asarray(rp.diag_id),
+            "row_ids": jnp.asarray(rp.row_ids),
+            "col_ids": jnp.asarray(rp.col_ids),
+            "schur": jnp.asarray(rp.schur),
+            "diag_src": jnp.asarray(rp.diag_src),
+            "l_off_src": jnp.asarray(rp.l_off_src),
+            "u_off_src": jnp.asarray(rp.u_off_src),
+            "l_stream_ids": jnp.asarray(lplan.level_tiles.reshape(-1)),
+            "u_stream_ids": jnp.asarray(uplan.level_tiles.reshape(-1)),
+        }
         self._prepare_device()
 
     def refactor_numeric(self, A: sp.spmatrix) -> None:
@@ -398,6 +423,83 @@ class ParallelSparseLU:
         from .refactor import refactor_same_pattern
 
         refactor_same_pattern(self, sp.csc_matrix(A))
+
+    def make_refactor_solve_step(self):
+        """Fully-fused production step: ``step(a_data, b) -> x`` where
+        ``a_data`` is A's new nonzero values (same pattern, original CSC
+        order) and ``b`` an ``(n, R)`` RHS panel.
+
+        Refactorizes (device, static pivots) and solves inside ONE jitted
+        program — the shape of a PDE time-stepper's inner loop (update
+        coefficients → lu! → ldiv!, the reference lifecycle,
+        test/runtests.jl:108-188) with zero intermediate host syncs.
+        Does not mutate F's cached state; call ``refactor_numeric`` for
+        that.
+        """
+        from .ops.permute import apply_perm
+        from .refactor import _refactor_pipeline
+        from .solve import TriKernelData, blocked_tri_solve
+
+        self.enable_device_refactor()
+        rp = self._refactor_plan
+        dev = self._refactor_dev
+        plan = self.plan
+        mode = self.config.tri_mode
+        want_stream = self._pallas_eligible()
+        n, cs, K = plan.n, plan.cs, plan.lplan.K
+        prec = self.config.matmul_precision
+
+        def mk(tplan, diag, off, dinv, stream):
+            src = dst = None
+            if want_stream:
+                src = jnp.asarray(
+                    tplan.tile_bcol[tplan.level_tiles].astype(np.int32))
+                dst = jnp.asarray(
+                    tplan.tile_brow[tplan.level_tiles].astype(np.int32))
+            return TriKernelData(
+                diag=diag, diag_inv=dinv, offdiag=off,
+                level_chunks=jnp.asarray(tplan.level_chunks),
+                level_tiles=jnp.asarray(tplan.level_tiles),
+                tile_brow=jnp.asarray(tplan.tile_brow),
+                tile_bcol=jnp.asarray(tplan.tile_bcol),
+                off_stream=stream, src_stream=src, dst_stream=dst,
+            )
+
+        def tri(tplan, tdata, xw):
+            if want_stream and tdata.off_stream is not None:
+                from .ops.pallas_solve import (
+                    pallas_tri_solve, supports_pallas_plan)
+
+                if supports_pallas_plan(tplan, xw.shape[-1]):
+                    return pallas_tri_solve(tplan, tdata, xw)
+            return blocked_tri_solve(tplan, tdata, xw, tri_mode=mode,
+                                     schedule=self.config.schedule)
+
+        @jax.jit
+        def step(a_data, b, pperm, qperm):
+            with jax.default_matmul_precision(prec):
+                out = _refactor_pipeline(
+                    a_data.astype(self.dtype), dev,
+                    n=rp.n, cs=rp.cs, TF=rp.TF, tri_mode=mode,
+                    want_stream=want_stream,
+                )
+                ldata = mk(plan.lplan, out["ldiag"], out["loff"],
+                           out.get("ldiag_inv"), out.get("l_stream"))
+                udata = mk(plan.uplan, out["udiag"], out["uoff"],
+                           out.get("udiag_inv"), out.get("u_stream"))
+                rs_pad = jnp.zeros((K * cs + cs,), self.dtype).at[:n].set(
+                    out["rs"].astype(self.dtype))
+                rs_blk = rs_pad.reshape(K + 1, cs, 1)
+                xw = block_rhs(b.astype(self.dtype), n, K, cs)
+                xw = apply_perm(pperm, xw * rs_blk)
+                xw = tri(plan.lplan, ldata, xw)
+                xw = tri(plan.uplan, udata, xw)
+                xw = apply_perm(qperm, xw)
+                return unblock_rhs(xw, n)
+
+        return lambda a_data, b: step(
+            jnp.asarray(a_data), jnp.asarray(b), self._pperm, self._qperm
+        )
 
     # -- misc ---------------------------------------------------------------
     def save_symbolic(self, path: str) -> None:

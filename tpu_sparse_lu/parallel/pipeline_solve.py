@@ -1,0 +1,347 @@
+"""Halo-pipelined distributed triangular solves (SURVEY.md §5.7).
+
+The psum-based engine (sharded_solve.py) replicates the solution carrier —
+the TPU analogue of an MPI shared-memory *window*. This module is the
+message-passing analogue for **banded** operators (BASELINE config 5:
+block-banded PDE matrix row-partitioned across hosts):
+
+* chunks are partitioned **contiguously**: device ``d`` owns the chunk
+  range ``[d*Kl, (d+1)*Kl)`` — the solution vector is truly distributed
+  (x sharded by level-set row blocks);
+* within a device the chunk chain solves locally (a ``lax.scan``, exactly
+  the single-device engine on the local slice);
+* dependencies crossing the partition boundary become **halo segments**:
+  the off-diagonal tiles whose source chunk is local but whose destination
+  chunk is on the next device are applied locally and the accumulated
+  contribution is sent with one ``lax.ppermute`` per round — communication
+  is nearest-neighbour ICI traffic, not a global collective;
+* the RHS panel is split into ``M`` micro-panels, software-pipelined: in
+  round ``r`` device ``d`` processes micro-panel ``r - d``, so all devices
+  work concurrently after the fill phase. Pipeline efficiency is
+  ``M / (M + D - 1)`` per triangular solve.
+
+Restrictions (checked at plan time, fall back to the psum engine
+otherwise): every off-diagonal tile must stay within one boundary
+crossing (bandwidth <= one device's chunk range).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..solve import TriKernelData
+from ..symbolic import TriPlan
+
+__all__ = ["PipelinePlan", "build_pipeline_plan", "pipeline_tri_solve",
+           "make_pipeline_ldiv"]
+
+
+@dataclasses.dataclass
+class PipelinePlan:
+    """Static per-device schedule for one pipelined triangular solve."""
+
+    D: int            # devices
+    Kl: int           # chunks per device (padded)
+    H: int            # halo depth in chunks (max boundary crossing)
+    forward: bool     # True: lsolve (halo flows d -> d+1); False: rsolve
+    # (D, Kl) global chunk id per local step (K = dummy); steps run in
+    # local dependency order (ascending chunks for L, descending for U)
+    steps: np.ndarray
+    # (D, Kl, MT) tile ids applied after each local step's chunk solve,
+    # LOCAL destinations only (T = dummy)
+    step_tiles: np.ndarray
+    # (D, Kl, MT) local slot (0..Kl+H) of each tile's dst in the device's
+    # extended carrier [halo_in | local chunks]
+    step_tile_dst: np.ndarray
+    # (D, Kl, MT) same for boundary tiles: applied after the step, into the
+    # outgoing halo buffer slot 0..H-1 (H = dummy/no-op)
+    bnd_tiles: np.ndarray
+    bnd_tile_dst: np.ndarray
+    MT: int
+    MB: int
+
+
+def _owner(k: int, Kl: int, D: int) -> int:
+    return min(k // Kl, D - 1)
+
+
+def build_pipeline_plan(plan: TriPlan, D: int) -> Optional[PipelinePlan]:
+    """Build the pipelined schedule, or None if the pattern doesn't fit
+    (crossings deeper than one device, or non-chain local structure is
+    fine — local levels are honoured by processing in level order)."""
+    K, T = plan.K, plan.T
+    Kl = -(-K // D)
+    fwd = plan.lower
+
+    # halo depth: max |dst - src| in chunks, must stay within neighbour
+    if T:
+        span = np.abs(plan.tile_brow[:T].astype(int) - plan.tile_bcol[:T].astype(int))
+        H = int(span.max())
+    else:
+        H = 1
+    H = max(1, min(H, Kl))
+    for t in range(T):
+        src, dst = int(plan.tile_bcol[t]), int(plan.tile_brow[t])
+        osrc, odst = _owner(src, Kl, D), _owner(dst, Kl, D)
+        if abs(odst - osrc) > 1:
+            return None  # crossing skips a device: psum engine instead
+        if fwd and odst < osrc:
+            return None
+        if not fwd and odst > osrc:
+            return None
+
+    # local step order: within a device, chunks in dependency order
+    steps = np.full((D, Kl), K, dtype=np.int32)
+    local_index = {}
+    for d in range(D):
+        lo, hi = d * Kl, min((d + 1) * Kl, K)
+        ids = list(range(lo, hi))
+        if not fwd:
+            ids = ids[::-1]
+        for a, k in enumerate(ids):
+            steps[d, a] = k
+            local_index[k] = a
+
+    # tiles grouped by their source chunk's local step; split local/boundary
+    per_step_local = [[[] for _ in range(Kl)] for _ in range(D)]
+    per_step_bnd = [[[] for _ in range(Kl)] for _ in range(D)]
+    for t in range(T):
+        src, dst = int(plan.tile_bcol[t]), int(plan.tile_brow[t])
+        d = _owner(src, Kl, D)
+        a = local_index[src]
+        if _owner(dst, Kl, D) == d:
+            # local slot: position of dst within the extended carrier
+            # [H halo slots | Kl local chunks] — halo slots hold incoming
+            # contributions for the FIRST chunks processed
+            slot = H + (dst - d * Kl if fwd else (min((d + 1) * Kl, K) - 1 - dst))
+            per_step_local[d][a].append((t, slot))
+        else:
+            # boundary: halo slot on the RECEIVER = position of dst in its
+            # first H processed chunks
+            nd = d + 1 if fwd else d - 1
+            off = (dst - nd * Kl) if fwd else (min((nd + 1) * Kl, K) - 1 - dst)
+            if off >= H:
+                return None  # receiver processes it later than halo depth
+            per_step_bnd[d][a].append((t, off))
+
+    MT = max((len(x) for dd in per_step_local for x in dd), default=1) or 1
+    MB = max((len(x) for dd in per_step_bnd for x in dd), default=1) or 1
+    step_tiles = np.full((D, Kl, MT), T, dtype=np.int32)
+    step_tile_dst = np.zeros((D, Kl, MT), dtype=np.int32)
+    bnd_tiles = np.full((D, Kl, MB), T, dtype=np.int32)
+    bnd_tile_dst = np.full((D, Kl, MB), H, dtype=np.int32)
+    for d in range(D):
+        for a in range(Kl):
+            for i, (t, s) in enumerate(per_step_local[d][a]):
+                step_tiles[d, a, i] = t
+                step_tile_dst[d, a, i] = s
+            for i, (t, s) in enumerate(per_step_bnd[d][a]):
+                bnd_tiles[d, a, i] = t
+                bnd_tile_dst[d, a, i] = s
+    return PipelinePlan(
+        D=D, Kl=Kl, H=H, forward=fwd,
+        steps=steps, step_tiles=step_tiles, step_tile_dst=step_tile_dst,
+        bnd_tiles=bnd_tiles, bnd_tile_dst=bnd_tile_dst, MT=MT, MB=MB,
+    )
+
+
+def _bmm(a, b):
+    return lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=a.dtype,
+    )
+
+
+def pipeline_tri_solve(
+    mesh: Mesh,
+    axis: str,
+    plan: TriPlan,
+    pplan: PipelinePlan,
+    data: TriKernelData,
+    xw: jax.Array,   # (K+1, cs, R) chunk-blocked RHS (replicated)
+    *,
+    micro_panels: int = 4,
+    tri_mode: str = "inv",
+) -> jax.Array:
+    """Pipelined solve; returns the replicated solved carrier."""
+    D, Kl, H = pplan.D, pplan.Kl, pplan.H
+    K, cs = plan.K, plan.cs
+    R = xw.shape[-1]
+    M = max(1, min(micro_panels, R))
+    while R % M:
+        M -= 1
+    Rm = R // M
+    fwd = pplan.forward
+
+    steps = jnp.asarray(pplan.steps)            # (D, Kl)
+    st_t = jnp.asarray(pplan.step_tiles)        # (D, Kl, MT)
+    st_d = jnp.asarray(pplan.step_tile_dst)
+    bn_t = jnp.asarray(pplan.bnd_tiles)
+    bn_d = jnp.asarray(pplan.bnd_tile_dst)
+
+    def solve_diag(r, k):
+        if tri_mode == "trsm":
+            return lax.linalg.triangular_solve(
+                data.diag[k], r, left_side=True, lower=plan.lower,
+                unit_diagonal=False,
+            )
+        y = _bmm(data.diag_inv[k], r)
+        if tri_mode == "inv_refine":
+            y = y + _bmm(data.diag_inv[k], r - _bmm(data.diag[k], y))
+        return y
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(xw, steps_me, st_t_me, st_d_me, bn_t_me, bn_d_me):
+        d = lax.axis_index(axis)
+        # position in the dependency chain: backward solves start at the
+        # LAST device
+        pos = d if fwd else (D - 1 - d)
+        steps_me = steps_me[0]      # (Kl,)
+        st_t_me = st_t_me[0]
+        st_d_me = st_d_me[0]
+        bn_t_me = bn_t_me[0]
+        bn_d_me = bn_d_me[0]
+
+        # local extended carrier per micro-panel: [H halo | Kl chunks]+dummy
+        # filled from the replicated xw with this device's chunk rows
+        def local_rows(m):
+            # (Kl, cs, Rm) rows of micro-panel m in LOCAL STEP ORDER
+            rows = xw[steps_me]                       # (Kl, cs, R)
+            return lax.dynamic_slice_in_dim(rows, m * Rm, Rm, axis=2)
+
+        loc0 = jnp.stack([local_rows(m) for m in range(M)])  # (M, Kl, cs, Rm)
+        halo0 = jnp.zeros((M, H, cs, Rm), xw.dtype)
+        out0 = jnp.zeros((M, Kl, cs, Rm), xw.dtype)
+
+        def round_body(r, carry):
+            loc, halo_in, out = carry
+            m = r - pos
+            active = jnp.logical_and(m >= 0, m < M)
+            mi = jnp.clip(m, 0, M - 1)
+
+            # rhs for this panel: local rows + incoming halo applied to the
+            # first H processed chunks
+            rhs = loc[mi]                                   # (Kl, cs, Rm)
+            rhs = lax.dynamic_update_slice_in_dim(
+                rhs, rhs[:H] + halo_in[mi], 0, axis=0
+            )
+
+            halo_out = jnp.zeros((H + 1, cs, Rm), xw.dtype)
+
+            def step_body(a, sc):
+                rhs, halo_out = sc
+                k = steps_me[a]
+                r_a = rhs[a]
+                y = solve_diag(r_a, k)
+                y = jnp.where(k < K, y, r_a)
+                rhs = rhs.at[a].set(y)
+                # local tile applies (ext slot = H + local index ≥ a+... )
+                for j in range(pplan.MT):
+                    t = st_t_me[a, j]
+                    contrib = _bmm(data.offdiag[t], y)
+                    # slot H+idx maps into rhs index (slot - H)
+                    dstslot = st_d_me[a, j] - H
+                    rhs = rhs.at[jnp.clip(dstslot, 0, Kl - 1)].add(
+                        jnp.where(t < plan.T, contrib, 0.0)
+                    )
+                # boundary tile applies into halo_out
+                for j in range(pplan.MB):
+                    t = bn_t_me[a, j]
+                    contrib = _bmm(data.offdiag[t], y)
+                    halo_out = halo_out.at[bn_d_me[a, j]].add(
+                        jnp.where(t < plan.T, contrib, 0.0)
+                    )
+                return rhs, halo_out
+
+            rhs, halo_out = lax.fori_loop(0, Kl, step_body, (rhs, halo_out))
+            rhs = jnp.where(active, rhs, loc[mi])
+            halo_out = jnp.where(active, halo_out[:H], 0.0)
+
+            out = out.at[mi].set(jnp.where(active, rhs, out[mi]))
+
+            # send halo to the neighbour: the panel this device just
+            # finished (m = r - d) is the panel the receiver processes in
+            # round r+1 (their m' = r+1 - (d+1) = r - d)
+            perm = (
+                [(i, i + 1) for i in range(D - 1)]
+                if fwd else [(i, i - 1) for i in range(1, D)]
+            )
+            received = lax.ppermute(halo_out, axis, perm)
+            m_recv = r + 1 - pos  # receiver (pos+1) processes this next round
+            halo_in = halo_in.at[jnp.clip(m_recv, 0, M - 1)].add(
+                jnp.where(jnp.logical_and(m_recv >= 0, m_recv < M),
+                          received, 0.0)
+            )
+            return loc, halo_in, out
+
+        _, _, out = lax.fori_loop(0, D + M - 1, round_body,
+                                  (loc0, halo0, out0))
+
+        # scatter local results back into a zero global carrier and sum
+        glob = jnp.zeros_like(xw)
+        outR = jnp.concatenate([out[m] for m in range(M)], axis=-1)
+        glob = glob.at[steps_me].add(outR)
+        return lax.psum(glob, axis)
+
+    return run(xw, steps, st_t, st_d, bn_t, bn_d)
+
+
+def make_pipeline_ldiv(F, mesh: Mesh, axis: str = "chunks",
+                       micro_panels: int = 4):
+    """Pipelined distributed ``ldiv`` for banded-enough factors.
+
+    Returns ``solve(b)`` or None when either factor's pattern crosses more
+    than one device boundary (use :func:`make_sharded_ldiv` instead).
+    """
+    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    lp = build_pipeline_plan(F.plan.lplan, D)
+    up = build_pipeline_plan(F.plan.uplan, D)
+    if lp is None or up is None:
+        return None
+    from ..ops.permute import apply_perm
+    from ..solve import block_rhs, unblock_rhs
+
+    plan = F.plan
+    tri_mode = F.config.tri_mode
+    n, cs = plan.n, plan.cs
+    prec = F.config.matmul_precision
+
+    @jax.jit
+    def run(ldata, udata, pperm, qperm, rs_blk, b):
+        with jax.default_matmul_precision(prec):
+            xw = block_rhs(b, n, plan.lplan.K, cs)
+            xw = apply_perm(pperm, xw * rs_blk)
+            xw = pipeline_tri_solve(
+                mesh, axis, plan.lplan, lp, ldata, xw,
+                micro_panels=micro_panels, tri_mode=tri_mode,
+            )
+            xw = pipeline_tri_solve(
+                mesh, axis, plan.uplan, up, udata, xw,
+                micro_panels=micro_panels, tri_mode=tri_mode,
+            )
+            xw = apply_perm(qperm, xw)
+            return unblock_rhs(xw, n)
+
+    def solve(b):
+        b = jnp.asarray(b, dtype=F.dtype)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        x = run(F.ldata, F.udata, F._pperm, F._qperm, F._rs_blk, b)
+        return x[:, 0] if squeeze else x
+
+    return solve

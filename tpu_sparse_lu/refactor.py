@@ -42,7 +42,7 @@ import numpy as np
 import scipy.sparse as sp
 from jax import lax
 
-from .solve import prepare_tri_kernel
+from .solve import TriKernelData  # noqa: F401  (re-exported for callers)
 from .symbolic import TriPlan, plan_triangular
 
 __all__ = ["RefactorPlan", "build_refactor_plan", "refactor_same_pattern"]
@@ -300,23 +300,38 @@ def _blocked_elimination(tiles, diag_id, row_ids, col_ids, schur, *, cs: int):
     subsequent solve, so bf16 MXU shortcuts are never acceptable here.
     """
 
+    from .ops.pallas_factor import lu_tile, supports_lu_tile
+    from .ops.tri_inverse import tri_inverse
+
+    use_pallas_lu = supports_lu_tile(cs)
+
     def step(tiles, xs):
         dk, rids, cids, sch = xs
-        # 1) diagonal tile: dense no-pivot LU
-        D = _lu_nopivot(tiles[dk])
+        # 1) diagonal tile: dense no-pivot LU (Pallas on TPU — the XLA
+        #    rank-1 loop costs ~25us/column; in VMEM it is sub-us)
+        if use_pallas_lu:
+            D = lu_tile(tiles[dk])
+        else:
+            D = _lu_nopivot(tiles[dk])
         tiles = tiles.at[dk].set(D)
-        # 2) row panel: L_ik = A_ik @ U_kk^{-1}  (solve X U = A)
+        # 2/3) panels via explicit triangular inverses (batched matmuls;
+        #      triangular_solve substitutes sequentially on TPU)
+        Uinv = tri_inverse(jnp.triu(D), lower=False)
+        Linv = tri_inverse(D, lower=True, unit=True)
+        # row panel: L_ik = A_ik @ U_kk^{-1}
         Arow = tiles[rids]
-        Db = jnp.broadcast_to(D, Arow.shape)
-        X = lax.linalg.triangular_solve(
-            Db, Arow, left_side=False, lower=False, unit_diagonal=False
+        X = lax.dot_general(
+            Arow, Uinv,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=tiles.dtype,
         )
         tiles = tiles.at[rids].set(X)
-        # 3) col panel: U_kj = L_kk^{-1} @ A_kj (unit lower solve)
+        # col panel: U_kj = L_kk^{-1} @ A_kj
         Acol = tiles[cids]
-        Db2 = jnp.broadcast_to(D, Acol.shape)
-        Y = lax.linalg.triangular_solve(
-            Db2, Acol, left_side=True, lower=True, unit_diagonal=True
+        Y = lax.dot_general(
+            jnp.broadcast_to(Linv, Acol.shape), Acol,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=tiles.dtype,
         )
         tiles = tiles.at[cids].set(Y)
         # 4) Schur update: A_ij -= L_ik @ U_kj (batched MXU matmul)
@@ -367,50 +382,87 @@ def _extract_solve_tiles(tiles, diag_src, l_off_src, u_off_src, *, cs: int):
     return ldiag, udiag, loff, uoff
 
 
-def refactor_numeric_values(F, a_data: jax.Array) -> None:
-    """Jit-friendly core: refactorize from new nonzero values of A (device
-    array, original CSC order). Updates F's device solve state in place."""
-    rp: RefactorPlan = F._refactor_plan
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "cs", "TF", "tri_mode", "want_stream"),
+)
+def _refactor_pipeline(a_data, dev, *, n, cs, TF, tri_mode, want_stream):
+    """The WHOLE numeric refactorization as one program: assemble →
+    blocked elimination → solve-tile extraction → tile inverses → Pallas
+    tile streams. One dispatch per refactorization — through an
+    RPC-tunneled device, eager per-op round-trips (~0.7-3 ms each) would
+    otherwise dominate the numeric work many times over (measured)."""
+    from .ops.tri_inverse import tri_inverse
+
     tiles, rs = _assemble_input(
-        jnp.asarray(a_data, dtype=F.dtype),
-        jnp.asarray(rp.a_dest),
-        jnp.asarray(rp.a_rows),
-        jnp.asarray(rp.pad_idx),
-        n=rp.n,
-        cs=rp.cs,
-        TF=rp.TF,
+        a_data, dev["a_dest"], dev["a_rows"], dev["pad_idx"],
+        n=n, cs=cs, TF=TF,
     )
     tiles = _blocked_elimination(
-        tiles,
-        jnp.asarray(rp.diag_id),
-        jnp.asarray(rp.row_ids),
-        jnp.asarray(rp.col_ids),
-        jnp.asarray(rp.schur),
-        cs=rp.cs,
+        tiles, dev["diag_id"], dev["row_ids"], dev["col_ids"], dev["schur"],
+        cs=cs,
     )
     ldiag, udiag, loff, uoff = _extract_solve_tiles(
-        tiles,
-        jnp.asarray(rp.diag_src),
-        jnp.asarray(rp.l_off_src),
-        jnp.asarray(rp.u_off_src),
-        cs=rp.cs,
+        tiles, dev["diag_src"], dev["l_off_src"], dev["u_off_src"], cs=cs
     )
+    out = {"ldiag": ldiag, "udiag": udiag, "loff": loff, "uoff": uoff,
+           "rs": rs}
+    if tri_mode in ("inv", "inv_refine"):
+        with jax.default_matmul_precision("highest"):
+            out["ldiag_inv"] = tri_inverse(ldiag, lower=True)
+            out["udiag_inv"] = tri_inverse(udiag, lower=False)
+    if want_stream:
+        out["l_stream"] = loff[dev["l_stream_ids"]]
+        out["u_stream"] = uoff[dev["u_stream_ids"]]
+    return out
+
+
+def refactor_numeric_values(F, a_data: jax.Array) -> None:
+    """Refactorize from new nonzero values of A (device array, original
+    CSC order). Updates F's device solve state in place."""
+    rp: RefactorPlan = F._refactor_plan
     mode = F.config.tri_mode
     want_stream = F._pallas_eligible()
-    F.ldata = prepare_tri_kernel(
-        F.plan.lplan, ldiag, loff, tri_mode=mode,
-        build_pallas_stream=want_stream,
+    dev = F._refactor_dev
+    out = _refactor_pipeline(
+        jnp.asarray(a_data, dtype=F.dtype), dev,
+        n=rp.n, cs=rp.cs, TF=rp.TF, tri_mode=mode, want_stream=want_stream,
     )
-    F.udata = prepare_tri_kernel(
-        F.plan.uplan, udiag, uoff, tri_mode=mode,
-        build_pallas_stream=want_stream,
-    )
-    # Rs changed; p, q are static. rs is indexed by ORIGINAL row: Rs[p[i]].
-    F._rs_p_dev = rs[jnp.asarray(F.plan.p)].astype(F.dtype)
+
+    def kern(plan, diag, off, dinv, stream):
+        from .solve import TriKernelData
+
+        src = dst = None
+        if want_stream:
+            src = jnp.asarray(plan.tile_bcol[plan.level_tiles].astype(np.int32))
+            dst = jnp.asarray(plan.tile_brow[plan.level_tiles].astype(np.int32))
+        return TriKernelData(
+            diag=diag,
+            diag_inv=dinv,
+            offdiag=off,
+            level_chunks=jnp.asarray(plan.level_chunks),
+            level_tiles=jnp.asarray(plan.level_tiles),
+            tile_brow=jnp.asarray(plan.tile_brow),
+            tile_bcol=jnp.asarray(plan.tile_bcol),
+            off_stream=stream,
+            src_stream=src,
+            dst_stream=dst,
+        )
+
+    F.ldata = kern(F.plan.lplan, out["ldiag"], out["loff"],
+                   out.get("ldiag_inv"), out.get("l_stream"))
+    F.udata = kern(F.plan.uplan, out["udiag"], out["uoff"],
+                   out.get("udiag_inv"), out.get("u_stream"))
+    rs = out["rs"]
+    # Rs changed; p, q are static. rs is in ORIGINAL row order, which is
+    # exactly what the scale-then-permute ldiv needs — no gather.
     n, cs, K = rp.n, rp.cs, rp.K
-    rs_pad = jnp.zeros((K * cs + cs,), F.dtype).at[:n].set(F._rs_p_dev)
+    rs_pad = jnp.zeros((K * cs + cs,), F.dtype).at[:n].set(rs.astype(F.dtype))
     F._rs_blk = rs_pad.reshape(K + 1, cs, 1)
-    F._factors.Rs = np.asarray(rs, dtype=np.float64)
+    # sharded path still uses the permuted vector (eager gather, small)
+    F._rs_p_dev = rs[jnp.asarray(F.plan.p)].astype(F.dtype)
+    # device array; converted lazily if the host-side .Rs is read
+    F._factors.Rs = rs
     # refresh the device copy of A for residuals / iterative refinement
     F._a_data_dev = jnp.asarray(a_data, dtype=F.dtype)
 

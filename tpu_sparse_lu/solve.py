@@ -104,12 +104,12 @@ def tile_inverses(diag: jax.Array, *, lower: bool, unit: bool) -> jax.Array:
     One-time cost per (re)factorization; afterwards the hot solve path is
     pure batched matmul (partitioned-inverse trick — replaces the
     reference's per-chunk ``trsv!``, src:359/:384, with MXU work).
+    Computed by blocked recursion over batched matmuls (ops/tri_inverse)
+    rather than ``triangular_solve`` — no sequential substitution on TPU.
     """
-    k = diag.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(k, dtype=diag.dtype), diag.shape)
-    return lax.linalg.triangular_solve(
-        diag, eye, left_side=True, lower=lower, unit_diagonal=unit
-    )
+    from .ops.tri_inverse import tri_inverse
+
+    return tri_inverse(diag, lower=lower, unit=unit)
 
 
 def prepare_tri_kernel(
