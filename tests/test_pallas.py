@@ -61,24 +61,43 @@ def test_pallas_matches_xla(rng, make, R):
 
 
 def test_stream_layout(rng):
-    """Level-major stream covers every tile exactly once, in level order."""
+    """Grouped stream: every real tile appears exactly once, tiles of a
+    group share the destination chunk, and the wide slab holds the right
+    tile data in the right sub-column."""
+    from tpu_sparse_lu.ops.pallas_solve import GROUP, build_grouped_schedule
+
     A = poisson_2d(12, 12)
     F = ParallelSparseLU(A, chunk_size=8)
     plan = F.plan.lplan
-    off_stream, src, dst = build_stream(plan, F.ldata.offdiag)
-    NL, MT = plan.level_tiles.shape
-    assert off_stream.shape[0] == NL * MT
-    assert src.shape == (NL, MT) and dst.shape == (NL, MT)
-    # padded slots point at the dummy chunk
-    real = plan.level_tiles < plan.T
-    assert np.all(np.asarray(dst)[~real] == plan.K)
-    # stream slot (l, j) holds tile level_tiles[l, j]'s data
-    off_np = np.asarray(F.ldata.offdiag)
-    stream_np = np.asarray(off_stream).reshape(NL, MT, plan.cs, plan.cs)
+    cs = plan.cs
+    group_ids, g_src, g_dst = build_grouped_schedule(plan)
+    NL, MG, G = group_ids.shape
+    assert G == GROUP
+    # coverage: every real tile exactly once
+    real = group_ids[group_ids < plan.T]
+    assert sorted(real.tolist()) == list(range(plan.T))
+    # group invariants
     for l in range(NL):
-        for j in range(MT):
-            t = plan.level_tiles[l, j]
-            np.testing.assert_array_equal(stream_np[l, j], off_np[t])
+        for j in range(MG):
+            for g in range(G):
+                t = group_ids[l, j, g]
+                if t < plan.T:
+                    assert g_dst[l, j] == plan.tile_brow[t]
+                    assert g_src[l, j, g] == plan.tile_bcol[t]
+                else:
+                    assert g_src[l, j, g] == plan.K
+    # wide stream data layout
+    off_stream, src, dst = build_stream(plan, F.ldata.offdiag)
+    assert off_stream.shape == (NL * MG, cs, G * cs)
+    off_np = np.asarray(F.ldata.offdiag)
+    stream_np = np.asarray(off_stream)
+    for l in range(NL):
+        for j in range(MG):
+            for g in range(G):
+                t = group_ids[l, j, g]
+                np.testing.assert_array_equal(
+                    stream_np[l * MG + j][:, g * cs:(g + 1) * cs], off_np[t]
+                )
 
 
 def test_supports_pallas_plan_gates(rng):

@@ -148,3 +148,30 @@ def test_determinism(rng):
     x1 = np.asarray(F.ldiv(b))
     x2 = np.asarray(F.ldiv(b))
     assert np.array_equal(x1, x2)
+
+
+def test_nd_ordering_lifecycle(rng):
+    """ordering="nd": solve, host refactor, device refactor, fused step —
+    all against scipy ground truth."""
+    from tpu_sparse_lu.models import poisson_2d
+
+    A = poisson_2d(20, 20)
+    n = A.shape[0]
+    F = ParallelSparseLU(A, config=SolverConfig(chunk_size=16, ordering="nd"))
+    assert F.n == n and F.n_factor >= n
+    b = rng.random(n)
+    assert_isapprox(np.asarray(F.ldiv(b)), spla.spsolve(A, b),
+                    rtol=1e-10, atol=1e-10)
+    A2 = A.copy()
+    A2.data = A2.data * (1 + 0.05 * rng.standard_normal(A2.data.shape))
+    F.refactor(A2)
+    assert_isapprox(np.asarray(F.ldiv(b)), spla.spsolve(A2, b),
+                    rtol=1e-10, atol=1e-10)
+    A3 = A.copy()
+    A3.data = A3.data * (1 + 0.05 * rng.standard_normal(A3.data.shape))
+    F.refactor_numeric(A3)
+    assert_isapprox(np.asarray(F.ldiv(b, refine_steps=1)),
+                    spla.spsolve(A3, b), rtol=1e-10, atol=1e-10)
+    step = F.make_refactor_solve_step()
+    x = np.asarray(step(A3.data, b[:, None]))
+    assert_isapprox(x[:, 0], spla.spsolve(A3, b), rtol=1e-8, atol=1e-8)

@@ -107,3 +107,38 @@ def test_plan_serialization_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(a.level_tiles, b.level_tiles)
         np.testing.assert_array_equal(a.diag_dest, b.diag_dest)
         np.testing.assert_array_equal(a.offdiag_dest, b.offdiag_dest)
+
+
+def test_nested_dissection_perm_valid(rng):
+    from tpu_sparse_lu.ordering import nested_dissection
+    from tpu_sparse_lu.models import poisson_2d
+
+    A = poisson_2d(20, 17)
+    perm = nested_dissection(A)
+    assert np.array_equal(np.sort(perm), np.arange(A.shape[0]))
+
+
+def test_staged_extension_structure(rng):
+    """Chunk-aligned nd embedding: valid maps, identity pads, and a chunk
+    DAG that is tree-height shallow instead of a chain."""
+    from tpu_sparse_lu.ordering import staged_extension
+    from tpu_sparse_lu.models import poisson_2d
+    from tpu_sparse_lu import factorize_host, plan_triangular
+
+    A = poisson_2d(30, 30)
+    cs = 32
+    A_ext, ext_src, ext_pos, data_src = staged_extension(A, cs)
+    n, n_ext = A.shape[0], A_ext.shape[0]
+    assert n_ext % cs == 0
+    # bijection between original rows and their extended positions
+    real = ext_src >= 0
+    assert real.sum() == n
+    assert np.array_equal(np.sort(ext_src[real]), np.arange(n))
+    assert np.array_equal(ext_src[ext_pos], np.arange(n))
+    # data map reproduces the values; pads are exactly 1.0 diagonals
+    vals = np.where(data_src >= 0, A.data[np.maximum(data_src, 0)], 1.0)
+    np.testing.assert_array_equal(vals, A_ext.data)
+    # level depth is tree-like, not chain-like
+    f = factorize_host(A_ext, permc_spec="NATURAL", diag_pivot_thresh=0.0)
+    lp = plan_triangular(f.L, cs, lower=True)
+    assert lp.num_levels <= 14, lp.num_levels

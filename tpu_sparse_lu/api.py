@@ -84,17 +84,55 @@ class ParallelSparseLU:
         A.sort_indices()
         cs = self.config.chunk_size or default_chunk_size(A.shape[0])
         cs = max(1, min(cs, A.shape[0]))  # reference clamp, src:72
-
-        self._factors = factorize_host(A)
+        self._n_orig = A.shape[0]
         self.dtype = _resolve_dtype(self.config.dtype, A.dtype)
+
+        # nested-dissection embedding (config.ordering="nd"): factor an
+        # extended matrix whose chunks align with the dissection stages
+        self._ext = None
+        A_factor = A
+        if self.config.ordering == "nd":
+            from .ordering import staged_extension
+
+            A_ext, ext_src, ext_pos, data_src = staged_extension(A, cs)
+            self._ext = {"src": ext_src, "pos": ext_pos, "data_src": data_src}
+            A_factor = A_ext
+        self._factors = self._factorize(A_factor)
         self.plan = build_symbolic_plan(self._factors, cs)
-        # original input pattern, for the device refactorization path
+        # original input pattern, for refactorization pattern checks
         self._a_pattern = (A.indptr.copy(), A.indices.copy())
         self._a_pattern_sig = (A.indptr.tobytes(), A.indices.tobytes())
+        # the pattern the refactor plan is built on (extended under nd)
+        self._a_factor_pattern = (
+            A_factor.indptr.copy(), A_factor.indices.copy()
+        )
         self._refactor_plan = None
         self._set_matrix_device(A)
         self._prepare_device()
         self._jit_cache = {}
+
+    def _factorize(self, A_factor: sp.csc_matrix) -> HostFactors:
+        if self.config.ordering == "nd":
+            # pivoting would scramble the chunk-aligned embedding; default
+            # to static diagonal pivots (cf. SolverConfig docs)
+            thresh = self.config.pivot_threshold
+            return factorize_host(
+                A_factor, permc_spec="NATURAL",
+                diag_pivot_thresh=0.0 if thresh is None else thresh,
+            )
+        kw = {}
+        if self.config.ordering == "natural":
+            kw["permc_spec"] = "NATURAL"
+        elif self.config.ordering == "mmd":
+            kw["permc_spec"] = "MMD_AT_PLUS_A"
+        if self.config.pivot_threshold is not None:
+            kw["diag_pivot_thresh"] = self.config.pivot_threshold
+        return factorize_host(A_factor, **kw)
+
+    def _ext_values(self, A: sp.csc_matrix) -> np.ndarray:
+        """Map original csc data to the extended matrix's csc data."""
+        ds = self._ext["data_src"]
+        return np.where(ds >= 0, A.data[np.maximum(ds, 0)], 1.0)
 
     def _set_matrix_device(self, A: sp.csc_matrix) -> None:
         """Keep A on device for residual computation (iterative refinement;
@@ -119,10 +157,17 @@ class ParallelSparseLU:
     # -- reference-parity attributes ---------------------------------------
     @property
     def m(self) -> int:
-        return self._factors.m
+        """Size of the input matrix (under ordering="nd" the factored
+        matrix is the chunk-aligned extension; see ``n_factor``)."""
+        return self._n_orig
 
     @property
     def n(self) -> int:
+        return self._n_orig
+
+    @property
+    def n_factor(self) -> int:
+        """Dimension of the factored matrix (== n except under "nd")."""
         return self._factors.n
 
     @property
@@ -187,15 +232,29 @@ class ParallelSparseLU:
         self._p_dev = jnp.asarray(plan.p)
         self._qinv_dev = jnp.asarray(plan.qinv)
         self._rs_p_dev = jnp.asarray(plan.Rs[plan.p], dtype=self.dtype)
-        n, cs, K = plan.n, plan.cs, plan.lplan.K
-        self._pperm = build_perm_plan(plan.p, n, cs)
-        self._qperm = build_perm_plan(plan.qinv, n, cs)
-        # Rs in ORIGINAL row order: the scale is applied before the row
-        # permutation ((Rs .* b)[p] == P(Rs ⊙ b)), which keeps the
-        # refactorization path free of any Rs[p] gather.
-        rs = np.zeros(K * cs + cs, dtype=self.dtype)
-        rs[:n] = plan.Rs
-        self._rs_blk = jnp.asarray(rs.reshape(K + 1, cs, 1))
+        cs = plan.cs
+        n_in = self._n_orig
+        self._K_in = -(-n_in // cs)
+        if self._ext is None:
+            n = plan.n
+            self._pperm = build_perm_plan(plan.p, n, cs)
+            self._qperm = build_perm_plan(plan.qinv, n, cs)
+            rs_orig = plan.Rs
+        else:
+            # composite maps through the nd embedding:
+            #   wrk[i] = (Rs ⊙ b_ext)[p[i]],  b_ext[e] = b[ext_src[e]]
+            #   x[j]   = wrk[qinv[ext_pos[j]]]
+            src, pos = self._ext["src"], self._ext["pos"]
+            comp_p = np.where(plan.p < src.shape[0], src[plan.p], -1)
+            self._pperm = build_perm_plan(comp_p, plan.n, cs, n_in=n_in)
+            comp_q = plan.qinv[pos]
+            self._qperm = build_perm_plan(comp_q, n_in, cs, n_in=plan.n)
+            rs_orig = plan.Rs[pos]  # per ORIGINAL row
+        # Rs in input row order: scale before permuting
+        # ((Rs .* b)[p] == P(Rs ⊙ b)) — no Rs[p] gather on refactor.
+        rs = np.zeros(self._K_in * cs + cs, dtype=self.dtype)
+        rs[:n_in] = rs_orig
+        self._rs_blk = jnp.asarray(rs.reshape(self._K_in + 1, cs, 1))
 
     def _pallas_eligible(self) -> bool:
         """Whether the fused Pallas kernel (ops/pallas_solve.py) can serve
@@ -245,6 +304,9 @@ class ParallelSparseLU:
                 tplan, tdata, xw, tri_mode=mode, schedule=schedule
             )
 
+        n_in = self._n_orig
+        K_in = self._K_in
+
         def lsolve(ldata, b):
             xw = block_rhs(b, n, plan.lplan.K, cs)
             return unblock_rhs(tri(plan.lplan, ldata, xw), n)
@@ -256,15 +318,16 @@ class ParallelSparseLU:
         def ldiv(ldata, udata, pperm, qperm, rs_blk, b):
             from .ops.permute import apply_perm
 
-            xw = block_rhs(b, n, plan.lplan.K, cs)
+            xw = block_rhs(b, n_in, K_in, cs)
             # wrk = (Rs .* b)[p] == P(Rs ⊙ b)  (src:324-327) — scale in
-            # original order, then permute via block-one-hot matmul
+            # input order, then permute (composed with the nd embedding
+            # when active) via block-one-hot matmul
             xw = apply_perm(pperm, xw * rs_blk)
             xw = tri(plan.lplan, ldata, xw)  # forward subst. (src:330)
             xw = tri(plan.uplan, udata, xw)  # backward subst. (src:333)
             # un-pivot: x[q] = wrk  (src:337-339)
             xw = apply_perm(qperm, xw)
-            return unblock_rhs(xw, n)
+            return unblock_rhs(xw, n_in)
 
         fns = {
             "lsolve": jax.jit(_prec(lsolve)),
@@ -275,11 +338,12 @@ class ParallelSparseLU:
         return fns[kind]
 
     # -- public solves ------------------------------------------------------
-    def _as_rhs(self, b):
+    def _as_rhs(self, b, n=None):
+        n = self.n if n is None else n
         b = jnp.asarray(b, dtype=self.dtype)
-        if b.shape[0] != self.n:
+        if b.shape[0] != n:
             raise ValueError(
-                f"`b` does not have same size as F: {b.shape[0]} vs n={self.n}"
+                f"`b` does not have same size as F: {b.shape[0]} vs n={n}"
             )
         squeeze = b.ndim == 1
         if squeeze:
@@ -287,14 +351,17 @@ class ParallelSparseLU:
         return b, squeeze
 
     def lsolve(self, b):
-        """Solve ``L y = b`` (reference ``lsolve!``, src:349-367)."""
-        b, squeeze = self._as_rhs(b)
+        """Solve ``L y = b`` (reference ``lsolve!``, src:349-367).
+
+        Under ordering="nd" the factors live on the extended matrix:
+        ``b`` has length ``n_factor``."""
+        b, squeeze = self._as_rhs(b, self.n_factor)
         y = self._exe("lsolve")(self.ldata, b)
         return y[:, 0] if squeeze else y
 
     def rsolve(self, b):
         """Solve ``U y = b`` (reference ``rsolve!``, src:374-392)."""
-        b, squeeze = self._as_rhs(b)
+        b, squeeze = self._as_rhs(b, self.n_factor)
         y = self._exe("rsolve")(self.udata, b)
         return y[:, 0] if squeeze else y
 
@@ -340,9 +407,30 @@ class ParallelSparseLU:
         A = sp.csc_matrix(A)
         A.sort_indices()
         old_sig = self._factors.pattern_signature()
-        new_factors = factorize_host(A)
+        A_factor = A
+        if self._ext is not None:
+            if (A.indptr.tobytes(), A.indices.tobytes()) != self._a_pattern_sig:
+                # pattern changed: rebuild the nd embedding from scratch
+                from .ordering import staged_extension
+
+                A_ext, ext_src, ext_pos, data_src = staged_extension(
+                    A, self.plan.cs
+                )
+                self._ext = {"src": ext_src, "pos": ext_pos,
+                             "data_src": data_src}
+                A_factor = A_ext
+            else:
+                indptr, indices = self._a_factor_pattern
+                A_factor = sp.csc_matrix(
+                    (self._ext_values(A), indices, indptr),
+                    shape=(indptr.shape[0] - 1, indptr.shape[0] - 1),
+                )
+        new_factors = self._factorize(A_factor)
         reallocate = new_factors.pattern_signature() != old_sig
         self._factors = new_factors
+        self._a_factor_pattern = (
+            A_factor.indptr.copy(), A_factor.indices.copy()
+        )
         # Pivots (and possibly the pattern) may have moved: any cached
         # static-pivot refactorization schedule is stale.
         self._a_pattern = (A.indptr.copy(), A.indices.copy())
@@ -378,9 +466,12 @@ class ParallelSparseLU:
             return
         from .refactor import build_refactor_plan, closure_solve_plans
 
-        indptr, indices = self._a_pattern
+        # the refactor plan lives on the FACTORED pattern (extended when
+        # ordering="nd")
+        indptr, indices = self._a_factor_pattern
+        nf = indptr.shape[0] - 1
         A_pat = sp.csc_matrix(
-            (np.ones(indices.shape[0]), indices, indptr), shape=(self.n, self.n)
+            (np.ones(indices.shape[0]), indices, indptr), shape=(nf, nf)
         )
         lplan, uplan = closure_solve_plans(
             A_pat, self._factors.L, self._factors.U,
@@ -406,9 +497,14 @@ class ParallelSparseLU:
             "diag_src": jnp.asarray(rp.diag_src),
             "l_off_src": jnp.asarray(rp.l_off_src),
             "u_off_src": jnp.asarray(rp.u_off_src),
-            "l_stream_ids": jnp.asarray(lplan.level_tiles.reshape(-1)),
-            "u_stream_ids": jnp.asarray(uplan.level_tiles.reshape(-1)),
         }
+        from .ops.pallas_solve import grouped_schedule
+
+        for name, tplan in (("l", lplan), ("u", uplan)):
+            gids, _, _ = grouped_schedule(tplan)
+            self._refactor_dev[f"{name}_group_ids"] = jnp.asarray(
+                gids.reshape(-1)
+            )
         self._prepare_device()
 
     def refactor_numeric(self, A: sp.spmatrix) -> None:
@@ -452,10 +548,11 @@ class ParallelSparseLU:
         def mk(tplan, diag, off, dinv, stream):
             src = dst = None
             if want_stream:
-                src = jnp.asarray(
-                    tplan.tile_bcol[tplan.level_tiles].astype(np.int32))
-                dst = jnp.asarray(
-                    tplan.tile_brow[tplan.level_tiles].astype(np.int32))
+                from .ops.pallas_solve import grouped_schedule
+
+                _, g_src, g_dst = grouped_schedule(tplan)
+                src = jnp.asarray(g_src)
+                dst = jnp.asarray(g_dst)
             return TriKernelData(
                 diag=diag, diag_inv=dinv, offdiag=off,
                 level_chunks=jnp.asarray(tplan.level_chunks),
@@ -475,27 +572,46 @@ class ParallelSparseLU:
             return blocked_tri_solve(tplan, tdata, xw, tri_mode=mode,
                                      schedule=self.config.schedule)
 
+        n_in, K_in = self._n_orig, self._K_in
+        ext = self._ext
+        ext_ds = None if ext is None else jnp.asarray(ext["data_src"])
+        ext_pos = None if ext is None else jnp.asarray(ext["pos"])
+
         @jax.jit
         def step(a_data, b, pperm, qperm):
             with jax.default_matmul_precision(prec):
+                from .ops.pallas_solve import grouped_schedule as _gs
+
+                a_data = a_data.astype(self.dtype)
+                if ext is not None:
+                    # map original values into the nd embedding (device
+                    # gather; pass factor-space values to skip it)
+                    a_data = jnp.where(
+                        ext_ds >= 0, a_data[jnp.maximum(ext_ds, 0)], 1.0
+                    ).astype(self.dtype)
                 out = _refactor_pipeline(
-                    a_data.astype(self.dtype), dev,
+                    a_data, dev,
                     n=rp.n, cs=rp.cs, TF=rp.TF, tri_mode=mode,
                     want_stream=want_stream,
+                    l_gshape=_gs(plan.lplan)[0].shape,
+                    u_gshape=_gs(plan.uplan)[0].shape,
                 )
                 ldata = mk(plan.lplan, out["ldiag"], out["loff"],
                            out.get("ldiag_inv"), out.get("l_stream"))
                 udata = mk(plan.uplan, out["udiag"], out["uoff"],
                            out.get("udiag_inv"), out.get("u_stream"))
-                rs_pad = jnp.zeros((K * cs + cs,), self.dtype).at[:n].set(
-                    out["rs"].astype(self.dtype))
-                rs_blk = rs_pad.reshape(K + 1, cs, 1)
-                xw = block_rhs(b.astype(self.dtype), n, K, cs)
+                rs = out["rs"]
+                if ext is not None:
+                    rs = rs[ext_pos]
+                rs_pad = jnp.zeros((K_in * cs + cs,), self.dtype).at[
+                    :n_in].set(rs.astype(self.dtype))
+                rs_blk = rs_pad.reshape(K_in + 1, cs, 1)
+                xw = block_rhs(b.astype(self.dtype), n_in, K_in, cs)
                 xw = apply_perm(pperm, xw * rs_blk)
                 xw = tri(plan.lplan, ldata, xw)
                 xw = tri(plan.uplan, udata, xw)
                 xw = apply_perm(qperm, xw)
-                return unblock_rhs(xw, n)
+                return unblock_rhs(xw, n_in)
 
         return lambda a_data, b: step(
             jnp.asarray(a_data), jnp.asarray(b), self._pperm, self._qperm

@@ -44,8 +44,14 @@ __all__ = [
     "supports_pallas",
     "supports_pallas_plan",
     "build_stream",
+    "build_grouped_schedule",
     "pallas_tri_solve",
 ]
+
+# Tiles per fused wide matmul (same destination chunk). Measured on v5e:
+# grouping >1 loses — within a level destinations are mostly distinct
+# chunks, so slabs just grow with zero padding (4x DMA for ~nothing).
+GROUP = 1
 
 _VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom out of ~16MB
 
@@ -54,64 +60,114 @@ def supports_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def grouped_schedule(plan: TriPlan):
+    """Cached grouped schedule for a plan (host arrays)."""
+    cached = getattr(plan, "_grouped_cache", None)
+    if cached is None:
+        cached = build_grouped_schedule(plan)
+        plan._grouped_cache = cached
+    return cached
+
+
 def supports_pallas_plan(plan: TriPlan, R: int, itemsize: int = 4) -> bool:
     """Static feasibility: lane alignment + VMEM residency."""
     lanes = 128  # f32; bf16 would be 128 lanes too (sublane differs)
     if plan.cs % lanes != 0:
         return False
-    MT = plan.level_tiles.shape[1]
+    _, _, g_dst = grouped_schedule(plan)
+    MG = g_dst.shape[1]
     x_bytes = (plan.K + 1) * plan.cs * max(R, 1) * itemsize
     dinv_bytes = (plan.K + 1) * plan.cs * plan.cs * itemsize
-    slab_bytes = 2 * MT * plan.cs * plan.cs * itemsize
-    return x_bytes + dinv_bytes + slab_bytes < _VMEM_BUDGET
+    slab_bytes = 2 * MG * plan.cs * GROUP * plan.cs * itemsize
+    xs_bytes = GROUP * plan.cs * max(R, 1) * itemsize
+    return x_bytes + dinv_bytes + slab_bytes + xs_bytes < _VMEM_BUDGET
+
+
+def build_grouped_schedule(plan: TriPlan):
+    """Grouped level schedule: within a level, tiles sharing a destination
+    chunk fuse into one wide matmul ``y_dst += [T1 .. TG] @ [x_s1; ..]`` —
+    one RMW and one MXU op instead of up to GROUP of each.
+
+    Returns host arrays:
+      group_ids (NL, MG, GROUP) tile ids (T = dummy/zero tile),
+      g_src     (NL, MG, GROUP) source chunks (K = dummy/zero rows),
+      g_dst     (NL, MG)        destination chunk (K = dummy -> skip).
+    """
+    NL, MT = plan.level_tiles.shape
+    K, T = plan.K, plan.T
+    per_level = []
+    for l in range(NL):
+        cnt = int(plan.level_tile_counts[l])
+        tiles = plan.level_tiles[l, :cnt]
+        by_dst = {}
+        for t in tiles:
+            by_dst.setdefault(int(plan.tile_brow[t]), []).append(int(t))
+        groups = []
+        for dst, ts in sorted(by_dst.items()):
+            for i in range(0, len(ts), GROUP):
+                groups.append((dst, ts[i:i + GROUP]))
+        per_level.append(groups)
+    MG = max((len(g) for g in per_level), default=1) or 1
+    group_ids = np.full((NL, MG, GROUP), T, dtype=np.int32)
+    g_src = np.full((NL, MG, GROUP), K, dtype=np.int32)
+    g_dst = np.full((NL, MG), K, dtype=np.int32)
+    for l, groups in enumerate(per_level):
+        for j, (dst, ts) in enumerate(groups):
+            g_dst[l, j] = dst
+            for g, t in enumerate(ts):
+                group_ids[l, j, g] = t
+                g_src[l, j, g] = plan.tile_bcol[t]
+    return group_ids, g_src, g_dst
+
+
+def stream_from_tiles(offdiag: jax.Array, group_ids: np.ndarray) -> jax.Array:
+    """(T+1, cs, cs) tiles → (NL*MG, cs, GROUP*cs) wide group stream.
+
+    Jit-friendly (one gather + transpose + reshape): used both at pack
+    time and inside the fused refactorization pipeline.
+    """
+    NL, MG, G = group_ids.shape
+    cs = offdiag.shape[-1]
+    gathered = offdiag[jnp.asarray(group_ids.reshape(-1))]  # (NL*MG*G, cs, cs)
+    gathered = gathered.reshape(NL * MG, G, cs, cs)
+    return gathered.transpose(0, 2, 1, 3).reshape(NL * MG, cs, G * cs)
 
 
 def build_stream(plan: TriPlan, offdiag: jax.Array):
-    """Level-major tile stream + per-slot src/dst chunk ids.
-
-    ``off_stream[l*MT + j]`` is the j-th tile of level l (zeros for padded
-    slots); ``src/dst_stream[l, j]`` its source/destination chunk (K =
-    dummy). One gather at pack time buys one contiguous DMA per level at
-    solve time.
-    """
-    NL, MT = plan.level_tiles.shape
-    ids = plan.level_tiles.reshape(-1)  # (NL*MT,), padded with T
-    off_stream = jnp.asarray(offdiag)[jnp.asarray(ids)]
-    src_stream = plan.tile_bcol[plan.level_tiles]  # (NL, MT), K-padded
-    dst_stream = plan.tile_brow[plan.level_tiles]
-    return (
-        off_stream,
-        jnp.asarray(src_stream.astype(np.int32)),
-        jnp.asarray(dst_stream.astype(np.int32)),
-    )
+    """Grouped stream + schedule arrays for :func:`pallas_tri_solve`."""
+    group_ids, g_src, g_dst = grouped_schedule(plan)
+    off_stream = stream_from_tiles(jnp.asarray(offdiag), group_ids)
+    return off_stream, jnp.asarray(g_src), jnp.asarray(g_dst)
 
 
 def _kernel(
     # scalar prefetch (SMEM)
     lc_ref,        # (NL, MC) chunk ids, K = dummy
-    src_ref,       # (NL, MT) tile source chunk, K = dummy
-    dst_ref,       # (NL, MT) tile destination chunk, K = dummy
+    src_ref,       # (NL, MG, GROUP) group source chunks, K = dummy
+    dst_ref,       # (NL, MG) group destination chunk, K = dummy
     # tensor inputs
     dinv_ref,      # (K+1, cs, cs) VMEM — diagonal-tile inverses
-    stream_hbm,    # (NL*MT, cs, cs) HBM — level-major tile stream
+    stream_hbm,    # (NL*MG, cs, GROUP*cs) HBM — wide group stream
     xw_hbm,        # (K+1, cs, R) HBM — in
     out_hbm,       # (K+1, cs, R) HBM — out (aliased with xw)
     # scratch
     x_vmem,        # (K+1, cs, R) VMEM — resident solution panel
-    slab_vmem,     # (2, MT, cs, cs) VMEM — double-buffered level slabs
+    slab_vmem,     # (2, MG, cs, GROUP*cs) VMEM — double-buffered slabs
+    xs_vmem,       # (GROUP*cs, R) VMEM — gathered group sources
     load_sem,
     slab_sem,      # (2,)
     *,
     MC: int,
-    MT: int,
+    MG: int,
     K: int,
 ):
     lvl = pl.program_id(0)
     nlvl = pl.num_programs(0)
+    cs = dinv_ref.shape[-1]
 
     def slab_dma(slot, level):
         return pltpu.make_async_copy(
-            stream_hbm.at[pl.ds(level * MT, MT)],
+            stream_hbm.at[pl.ds(level * MG, MG)],
             slab_vmem.at[slot],
             slab_sem.at[slot],
         )
@@ -140,17 +196,19 @@ def _kernel(
             y = jnp.dot(tinv, r, preferred_element_type=r.dtype)
             x_vmem[pl.ds(k, 1)] = y[None].astype(x_vmem.dtype)
 
-    # ---- off-diagonal applies from the level slab --------------------------
+    # ---- grouped off-diagonal applies: one wide matmul per dst -------------
     slab_dma(lvl % 2, lvl).wait()
-    for j in range(MT):
+    for j in range(MG):
         dst = dst_ref[lvl, j]
 
         @pl.when(dst < K)
         def _():
-            src = src_ref[lvl, j]
-            xs = x_vmem[pl.ds(src, 1)][0]        # (cs, R)
+            for g in range(GROUP):
+                src = src_ref[lvl, j, g]
+                xs_vmem[g * cs:(g + 1) * cs] = x_vmem[pl.ds(src, 1)][0]
             contrib = jnp.dot(
-                slab_vmem[lvl % 2, j], xs, preferred_element_type=xs.dtype
+                slab_vmem[lvl % 2, j], xs_vmem[:],
+                preferred_element_type=x_vmem.dtype,
             )
             x_vmem[pl.ds(dst, 1)] = (
                 x_vmem[pl.ds(dst, 1)] + contrib[None].astype(x_vmem.dtype)
@@ -180,7 +238,7 @@ def pallas_tri_solve(
                          "build_pallas_stream=True")
     K, cs = plan.K, plan.cs
     NL, MC = plan.level_chunks.shape
-    MT = plan.level_tiles.shape[1]
+    MG = data.dst_stream.shape[1]
     R = xw.shape[-1]
     dtype = xw.dtype
 
@@ -195,13 +253,14 @@ def pallas_tri_solve(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((K + 1, cs, R), dtype),
-            pltpu.VMEM((2, MT, cs, cs), dtype),
+            pltpu.VMEM((2, MG, cs, GROUP * cs), dtype),
+            pltpu.VMEM((GROUP * cs, R), dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    kernel = functools.partial(_kernel, MC=MC, MT=MT, K=K)
+    kernel = functools.partial(_kernel, MC=MC, MG=MG, K=K)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

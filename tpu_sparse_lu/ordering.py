@@ -1,0 +1,197 @@
+"""Fill-reducing, parallelism-exposing orderings.
+
+SURVEY.md §7 hard part 1: the level-scheduled solve's speedup hinges on
+level *widths*, i.e. on the symbolic layer. SuperLU's default COLAMD
+ordering minimises fill but produces a near-sequential chunk DAG on PDE
+matrices (measured: 69 levels for 79 chunks on 2D Poisson — a chain). A
+**nested-dissection** ordering gives a balanced elimination tree instead:
+within each dissection level all separated subdomains eliminate
+independently, so the chunk DAG becomes wide and shallow.
+
+``nested_dissection`` is a light BFS-separator implementation (George-style
+recursive bisection using pseudo-peripheral BFS level structures — the
+classic cheap approximation; no METIS in this environment). For grid-like
+PDE graphs it yields O(log) -depth trees; for irregular graphs it degrades
+gracefully toward the natural order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse import csgraph
+
+__all__ = ["nested_dissection"]
+
+
+def _bfs_levels(adj_indptr, adj_indices, nodes, start):
+    """BFS level structure over the subgraph induced by ``nodes`` (bool
+    mask over global ids), from ``start``. Returns (order, level)."""
+    n = adj_indptr.shape[0] - 1
+    level = np.full(n, -1, dtype=np.int64)
+    level[start] = 0
+    frontier = [start]
+    order = [start]
+    lv = 0
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj_indices[adj_indptr[u]:adj_indptr[u + 1]]:
+                if nodes[v] and level[v] < 0:
+                    level[v] = lv + 1
+                    nxt.append(v)
+                    order.append(v)
+        frontier = nxt
+        lv += 1
+    return order, level
+
+
+def _dissect(adj_indptr, adj_indices, nodes_list, cutoff):
+    """Dissect and return groups as (depth, nodes): bases and separators
+    tagged with their recursion depth. A separator's ancestors always have
+    strictly smaller depth."""
+    groups = []
+    stack = [(nodes_list, 0)]
+    while stack:
+        nodes_list, d = stack.pop()
+        if len(nodes_list) <= cutoff:
+            groups.append((d, nodes_list))
+            continue
+        n_glob = adj_indptr.shape[0] - 1
+        mask = np.zeros(n_glob, dtype=bool)
+        mask[nodes_list] = True
+        start = nodes_list[0]
+        # pseudo-peripheral start: BFS twice
+        order, lvl = _bfs_levels(adj_indptr, adj_indices, mask, start)
+        far = order[-1]
+        order, lvl = _bfs_levels(adj_indptr, adj_indices, mask, far)
+        if len(order) < len(nodes_list):
+            # disconnected: the components are independent at this depth
+            rest = [u for u in nodes_list if lvl[u] < 0]
+            stack.append((order, d))
+            stack.append((rest, d))
+            continue
+        # split at the median BFS level; separator = the split level
+        med = int(np.median(lvl[order]))
+        half_a = [u for u in order if lvl[u] < med]
+        sep = [u for u in order if lvl[u] == med]
+        half_b = [u for u in order if lvl[u] > med]
+        if not half_a or not half_b:
+            groups.append((d, order))
+            continue
+        groups.append((d, sep))       # separator eliminated LAST (stage
+        stack.append((half_b, d + 1))  # ordering below: larger depth first)
+        stack.append((half_a, d + 1))
+    return groups
+
+
+def staged_extension(A: sp.spmatrix, cs: int, cutoff: int = None):
+    """Chunk-aligned nested-dissection embedding.
+
+    The staged ND order alone still chains at chunk granularity because
+    group boundaries straddle the fixed ``cs`` chunk boundaries (measured:
+    a group split across two chunks couples them, re-serialising the whole
+    DAG). This embeds A into an EXTENDED matrix: groups are bin-packed
+    into cs-sized bins stage by stage, bins padded with identity rows, so
+    every chunk contains only same-stage (mutually independent) group
+    rows. The chunk DAG depth then equals the dissection-tree height.
+
+    Returns ``(A_ext, ext_src, ext_pos, data_src)``:
+      A_ext     (n_ext x n_ext) csc with identity padding rows,
+      ext_src   (n_ext,) original row per extended row, -1 for padding,
+      ext_pos   (n,)     extended row per original row,
+      data_src  (nnz_ext,) index into A_ext-ordered original nonzeros:
+                 for each A_ext csc nonzero, the position in A.data (csc,
+                 sorted) it came from, or -1 for a padding 1.0.
+    """
+    A = sp.csc_matrix(A)
+    A.sort_indices()
+    n = A.shape[0]
+    cutoff = cutoff if cutoff is not None else max(32, cs // 2)
+    S = (A + A.T).tocsr()
+    S.sort_indices()
+    groups = _dissect(S.indptr, S.indices, list(range(n)), cutoff)
+    # bins per stage: first-fit-decreasing into cs-capacity bins; a group
+    # larger than cs takes dedicated bins (its internal chain is real)
+    from collections import defaultdict
+
+    by_stage = defaultdict(list)
+    for d, g in groups:
+        by_stage[d].append(g)
+    order_rows = []
+    for d in sorted(by_stage.keys(), reverse=True):  # deepest first
+        bins = []
+        for g in sorted(by_stage[d], key=len, reverse=True):
+            if len(g) >= cs:
+                # dedicated bins, padded to a chunk multiple
+                for i in range(0, len(g), cs):
+                    bins.append(list(g[i:i + cs]))
+                continue
+            for b in bins:
+                if len(b) + len(g) <= cs:
+                    b.extend(g)
+                    break
+            else:
+                bins.append(list(g))
+        for b in bins:
+            order_rows.extend(b)
+            order_rows.extend([-1] * (cs - len(b)))  # identity padding
+    ext_src = np.asarray(order_rows, dtype=np.int64)
+    n_ext = ext_src.shape[0]
+    ext_pos = np.full(n, -1, dtype=np.int64)
+    real = ext_src >= 0
+    ext_pos[ext_src[real]] = np.nonzero(real)[0]
+    assert (ext_pos >= 0).all()
+
+    # A_ext in COO: original entries mapped + identity pads
+    rows = A.indices
+    cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    er = ext_pos[rows]
+    ec = ext_pos[cols]
+    pad_rows = np.nonzero(~real)[0]
+    coo_r = np.concatenate([er, pad_rows])
+    coo_c = np.concatenate([ec, pad_rows])
+    vals = np.concatenate([A.data, np.ones(pad_rows.shape[0], dtype=A.data.dtype)])
+    tag = np.concatenate([
+        np.arange(A.data.shape[0], dtype=np.int64),
+        np.full(pad_rows.shape[0], -1, dtype=np.int64),
+    ])
+    A_ext = sp.coo_matrix((vals, (coo_r, coo_c)), shape=(n_ext, n_ext)).tocsc()
+    A_ext.sort_indices()
+    # recover the source of each csc-ordered nonzero via a parallel pass
+    key = sp.coo_matrix(
+        (tag.astype(np.float64) + 2.0, (coo_r, coo_c)), shape=(n_ext, n_ext)
+    ).tocsc()
+    key.sort_indices()
+    data_src = (key.data - 2.0).astype(np.int64)
+    return A_ext, ext_src, ext_pos, data_src
+
+
+def nested_dissection(A: sp.spmatrix, cutoff: int = 32) -> np.ndarray:
+    """Symmetric fill-reducing ND permutation of A's pattern.
+
+    Returns ``perm`` with the meaning "eliminate ``perm[0]`` first":
+    reorder as ``A[perm][:, perm]``.
+    """
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    # symmetrized pattern
+    S = (A + A.T).tocsr()
+    S.sort_indices()
+    groups = _dissect(S.indptr, S.indices, list(range(n)), cutoff)
+    # STAGE ordering: deepest groups (leaf subdomains) eliminate first,
+    # separators stage-by-stage toward the root — a valid topological
+    # order of the dissection tree that keeps each stage's groups mutually
+    # independent, so fixed-size chunks over the order yield a WIDE chunk
+    # DAG instead of the interleaved post-order's chunk-level chain
+    # (measured: interleaved = 63 levels on 2D Poisson, staged ~ tree
+    # height).
+    groups.sort(key=lambda g: -g[0])
+    out: list = []
+    for _, nodes in groups:
+        out.extend(nodes)
+    perm = np.asarray(out, dtype=np.int64)
+    assert perm.shape[0] == n and np.array_equal(np.sort(perm), np.arange(n))
+    return perm

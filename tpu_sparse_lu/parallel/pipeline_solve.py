@@ -307,6 +307,11 @@ def make_pipeline_ldiv(F, mesh: Mesh, axis: str = "chunks",
     Returns ``solve(b)`` or None when either factor's pattern crosses more
     than one device boundary (use :func:`make_sharded_ldiv` instead).
     """
+    if getattr(F, "_ext", None) is not None:
+        raise NotImplementedError(
+            "the pipelined solve is not yet composed with the "
+            "ordering='nd' embedding; build F with the default ordering"
+        )
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     lp = build_pipeline_plan(F.plan.lplan, D)
     up = build_pipeline_plan(F.plan.uplan, D)

@@ -215,6 +215,11 @@ def make_sharded_ldiv(F, mesh: Mesh, axis: str = "chunks"):
     level-striped over the mesh devices. Reuses F's packed tiles; call again
     after a refactorization.
     """
+    if getattr(F, "_ext", None) is not None:
+        raise NotImplementedError(
+            "mesh-sharded solves are not yet composed with the "
+            "ordering='nd' embedding; build F with the default ordering"
+        )
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     lsp = build_sharded_tri_plan(F.plan.lplan, D)
     usp = build_sharded_tri_plan(F.plan.uplan, D)

@@ -384,9 +384,11 @@ def _extract_solve_tiles(tiles, diag_src, l_off_src, u_off_src, *, cs: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "cs", "TF", "tri_mode", "want_stream"),
+    static_argnames=("n", "cs", "TF", "tri_mode", "want_stream",
+                     "l_gshape", "u_gshape"),
 )
-def _refactor_pipeline(a_data, dev, *, n, cs, TF, tri_mode, want_stream):
+def _refactor_pipeline(a_data, dev, *, n, cs, TF, tri_mode, want_stream,
+                       l_gshape=None, u_gshape=None):
     """The WHOLE numeric refactorization as one program: assemble →
     blocked elimination → solve-tile extraction → tile inverses → Pallas
     tile streams. One dispatch per refactorization — through an
@@ -412,8 +414,13 @@ def _refactor_pipeline(a_data, dev, *, n, cs, TF, tri_mode, want_stream):
             out["ldiag_inv"] = tri_inverse(ldiag, lower=True)
             out["udiag_inv"] = tri_inverse(udiag, lower=False)
     if want_stream:
-        out["l_stream"] = loff[dev["l_stream_ids"]]
-        out["u_stream"] = uoff[dev["u_stream_ids"]]
+        def wide(off, ids, shp):
+            NL, MG, G = shp
+            g = off[ids].reshape(NL * MG, G, cs, cs)
+            return g.transpose(0, 2, 1, 3).reshape(NL * MG, cs, G * cs)
+
+        out["l_stream"] = wide(loff, dev["l_group_ids"], l_gshape)
+        out["u_stream"] = wide(uoff, dev["u_group_ids"], u_gshape)
     return out
 
 
@@ -424,9 +431,13 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
     mode = F.config.tri_mode
     want_stream = F._pallas_eligible()
     dev = F._refactor_dev
+    from .ops.pallas_solve import grouped_schedule
+
     out = _refactor_pipeline(
         jnp.asarray(a_data, dtype=F.dtype), dev,
         n=rp.n, cs=rp.cs, TF=rp.TF, tri_mode=mode, want_stream=want_stream,
+        l_gshape=grouped_schedule(F.plan.lplan)[0].shape,
+        u_gshape=grouped_schedule(F.plan.uplan)[0].shape,
     )
 
     def kern(plan, diag, off, dinv, stream):
@@ -434,8 +445,9 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
 
         src = dst = None
         if want_stream:
-            src = jnp.asarray(plan.tile_bcol[plan.level_tiles].astype(np.int32))
-            dst = jnp.asarray(plan.tile_brow[plan.level_tiles].astype(np.int32))
+            _, g_src, g_dst = grouped_schedule(plan)
+            src = jnp.asarray(g_src)
+            dst = jnp.asarray(g_dst)
         return TriKernelData(
             diag=diag,
             diag_inv=dinv,
@@ -454,17 +466,25 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
     F.udata = kern(F.plan.uplan, out["udiag"], out["uoff"],
                    out.get("udiag_inv"), out.get("u_stream"))
     rs = out["rs"]
-    # Rs changed; p, q are static. rs is in ORIGINAL row order, which is
-    # exactly what the scale-then-permute ldiv needs — no gather.
-    n, cs, K = rp.n, rp.cs, rp.K
-    rs_pad = jnp.zeros((K * cs + cs,), F.dtype).at[:n].set(rs.astype(F.dtype))
-    F._rs_blk = rs_pad.reshape(K + 1, cs, 1)
+    # Rs changed; p, q are static. rs is in factor row order == input row
+    # order (no gather), except under the nd embedding where it maps back
+    # through ext_pos.
+    cs = rp.cs
+    n_in, K_in = F._n_orig, F._K_in
+    rs_in = rs if F._ext is None else rs[jnp.asarray(F._ext["pos"])]
+    rs_pad = jnp.zeros((K_in * cs + cs,), F.dtype).at[:n_in].set(
+        rs_in.astype(F.dtype)
+    )
+    F._rs_blk = rs_pad.reshape(K_in + 1, cs, 1)
     # sharded path still uses the permuted vector (eager gather, small)
     F._rs_p_dev = rs[jnp.asarray(F.plan.p)].astype(F.dtype)
     # device array; converted lazily if the host-side .Rs is read
     F._factors.Rs = rs
     # refresh the device copy of A for residuals / iterative refinement
-    F._a_data_dev = jnp.asarray(a_data, dtype=F.dtype)
+    # (skip under the nd embedding: a_data is factor-space there; the
+    # caller refreshes from the original matrix instead)
+    if F._ext is None:
+        F._a_data_dev = jnp.asarray(a_data, dtype=F.dtype)
 
 
 def refactor_same_pattern(F, A: sp.csc_matrix) -> None:
@@ -480,4 +500,7 @@ def refactor_same_pattern(F, A: sp.csc_matrix) -> None:
             "matrix this factorization was built from; use refactor() for "
             "pattern changes (reference src:265-273 reallocate path)"
         )
-    refactor_numeric_values(F, A.data)
+    data = A.data if F._ext is None else F._ext_values(A)
+    refactor_numeric_values(F, data)
+    if F._ext is not None:
+        F._a_data_dev = jnp.asarray(A.data, dtype=F.dtype)

@@ -50,6 +50,16 @@ class SolverConfig:
     matmul_precision: str = "highest"
     schedule: str = "auto"
     use_pallas: str = "auto"  # "auto" | "always" | "never"
+    # Ordering: "colamd" (SuperLU default) or "nd" — chunk-aligned staged
+    # nested dissection (ordering.py): embeds A with identity padding rows
+    # so every chunk holds mutually-independent subdomain rows; measured on
+    # 2D Poisson n=10k/cs=128: level depth 69 -> 9 with 6% row overhead and
+    # less fill than COLAMD. "nd" factors WITHOUT row pivoting by default
+    # (partial pivoting would scramble the alignment) — use
+    # pivot_threshold to re-enable thresholded pivoting, and refine_steps
+    # on ldiv for extra safety on non-diagonally-dominant matrices.
+    ordering: str = "colamd"
+    pivot_threshold: Optional[float] = None
 
     def __post_init__(self):
         if self.tri_mode not in ("trsm", "inv", "inv_refine"):
@@ -62,6 +72,8 @@ class SolverConfig:
             )
         if self.use_pallas not in ("auto", "always", "never"):
             raise ValueError(f"unknown use_pallas: {self.use_pallas!r}")
+        if self.ordering not in ("colamd", "nd", "natural", "mmd"):
+            raise ValueError(f"unknown ordering: {self.ordering!r}")
 
 
 def default_chunk_size(n: int) -> int:
