@@ -107,9 +107,12 @@ def bench_config(cfg_id: int) -> dict:
     rng = np.random.default_rng(0)
 
     if cfg_id == 1:
-        # 1D Laplacian tridiagonal, single RHS
+        # 1D Laplacian tridiagonal, single RHS. nd collapses the chain to
+        # ~10 levels (1.55ms vs 3.9ms measured); note a CPU substitution
+        # over 80k nnz is ~0.3ms — the single-RHS latency game is the
+        # reference's home turf, the TPU wins on panels (config 3).
         A = laplacian_1d(20000)
-        F = _make_F(A, 128)
+        F = _make_F(A, 128, ordering="nd", schedule="unrolled")
         b = jnp.asarray(rng.random((A.shape[0], 1)), dtype=jnp.float32)
         resid = _check_residual(F, A, b)
         t = _chain_time(_ldiv_fn(F), b)
