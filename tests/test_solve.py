@@ -175,3 +175,26 @@ def test_nd_ordering_lifecycle(rng):
     step = F.make_refactor_solve_step()
     x = np.asarray(step(A3.data, b[:, None]))
     assert_isapprox(x[:, 0], spla.spsolve(A3, b), rtol=1e-8, atol=1e-8)
+
+
+def test_matvec_tile_spmv(rng):
+    """matvec == A @ x via the block-tile SpMV (ops/spmv.py), including
+    after a device refactorization (lazy tile refresh)."""
+    from tpu_sparse_lu.models import poisson_2d
+
+    A = poisson_2d(13, 11)
+    n = A.shape[0]
+    F = ParallelSparseLU(A, chunk_size=8)
+    x = rng.random((n, 3))
+    np.testing.assert_allclose(np.asarray(F.matvec(x)), A @ x,
+                               rtol=1e-12, atol=1e-12)
+    # 1-D input
+    v = rng.random(n)
+    np.testing.assert_allclose(np.asarray(F.matvec(v)), A @ v,
+                               rtol=1e-12, atol=1e-12)
+    # after device refactor, matvec must see the NEW values
+    A2 = A.copy()
+    A2.data = A2.data * (1 + 0.1 * rng.standard_normal(A2.data.shape))
+    F.refactor_numeric(A2)
+    np.testing.assert_allclose(np.asarray(F.matvec(v)), A2 @ v,
+                               rtol=1e-12, atol=1e-12)

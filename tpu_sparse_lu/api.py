@@ -136,22 +136,35 @@ class ParallelSparseLU:
 
     def _set_matrix_device(self, A: sp.csc_matrix) -> None:
         """Keep A on device for residual computation (iterative refinement;
-        SURVEY.md §7 hard part 2 mitigation — also the fp32-on-TPU path)."""
-        n = A.shape[0]
-        self._a_rows_dev = jnp.asarray(A.indices.astype(np.int32))
-        self._a_cols_dev = jnp.asarray(
-            np.repeat(np.arange(n, dtype=np.int32), np.diff(A.indptr))
-        )
+        SURVEY.md §7 hard part 2 mitigation — also the fp32-on-TPU path).
+
+        A is held as dense chunk-grid tiles (ops/spmv.py): a scatter-based
+        SpMV serializes on TPU at ~130ns/nonzero — slower than the whole
+        direct solve."""
+        from .ops.spmv import build_spmv_plan
+
         self._a_data_dev = jnp.asarray(A.data, dtype=self.dtype)
+        cs = min(getattr(self.plan, "cs", 128), 128)
+        self._spmv, dest = build_spmv_plan(
+            A, cs, dtype=self.dtype, with_dest=True
+        )
+        self._spmv_dest = jnp.asarray(dest)
+        self._spmv_dirty = False
 
     def matvec(self, x):
-        """Device SpMV ``A @ x`` with the current matrix values."""
+        """Device SpMV ``A @ x`` with the current matrix values (batched
+        dense-tile matmuls, MXU-friendly)."""
+        from .ops.spmv import apply_spmv, refresh_spmv_values
+
+        if self._spmv_dirty:
+            self._spmv = refresh_spmv_values(
+                self._spmv, self._spmv_dest, self._a_data_dev
+            )
+            self._spmv_dirty = False
         x = jnp.asarray(x, dtype=self.dtype)
         squeeze = x.ndim == 1
         xv = x[:, None] if squeeze else x
-        y = jnp.zeros((self.n, xv.shape[1]), self.dtype).at[self._a_rows_dev].add(
-            self._a_data_dev[:, None] * xv[self._a_cols_dev]
-        )
+        y = apply_spmv(self._spmv, xv)
         return y[:, 0] if squeeze else y
 
     # -- reference-parity attributes ---------------------------------------

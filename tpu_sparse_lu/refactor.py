@@ -485,6 +485,7 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
     # caller refreshes from the original matrix instead)
     if F._ext is None:
         F._a_data_dev = jnp.asarray(a_data, dtype=F.dtype)
+        F._spmv_dirty = True
 
 
 def refactor_same_pattern(F, A: sp.csc_matrix) -> None:
@@ -504,3 +505,4 @@ def refactor_same_pattern(F, A: sp.csc_matrix) -> None:
     refactor_numeric_values(F, data)
     if F._ext is not None:
         F._a_data_dev = jnp.asarray(A.data, dtype=F.dtype)
+        F._spmv_dirty = True
