@@ -94,7 +94,9 @@ class ParallelSparseLU:
         if self.config.ordering == "nd":
             from .ordering import staged_extension
 
-            A_ext, ext_src, ext_pos, data_src = staged_extension(A, cs)
+            A_ext, ext_src, ext_pos, data_src = staged_extension(
+                A, cs, cutoff=self.config.nd_cutoff
+            )
             self._ext = {"src": ext_src, "pos": ext_pos, "data_src": data_src}
             A_factor = A_ext
         self._factors = self._factorize(A_factor)
@@ -427,7 +429,7 @@ class ParallelSparseLU:
                 from .ordering import staged_extension
 
                 A_ext, ext_src, ext_pos, data_src = staged_extension(
-                    A, self.plan.cs
+                    A, self.plan.cs, cutoff=self.config.nd_cutoff
                 )
                 self._ext = {"src": ext_src, "pos": ext_pos,
                              "data_src": data_src}

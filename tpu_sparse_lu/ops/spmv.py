@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
-from jax import lax
 
 __all__ = ["SpMVPlan", "build_spmv_plan", "apply_spmv"]
 

@@ -35,7 +35,6 @@ solve into matmuls ("inv"), and inverses plus one residual-correction step
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

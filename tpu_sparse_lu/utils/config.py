@@ -60,6 +60,9 @@ class SolverConfig:
     # on ldiv for extra safety on non-diagonally-dominant matrices.
     ordering: str = "colamd"
     pivot_threshold: Optional[float] = None
+    # nd base-subdomain size (default cs//2): larger -> fewer, denser
+    # off-diagonal tiles (fewer solve ops) at the price of more fill
+    nd_cutoff: Optional[int] = None
 
     def __post_init__(self):
         if self.tri_mode not in ("trsm", "inv", "inv_refine"):
