@@ -54,9 +54,8 @@ def _chain_time(exe_args_fn, b, reps=5):
 
 
 def _ldiv_fn(F):
-    exe = F._exe("ldiv")
-    args = (F.ldata, F.udata, F._pperm, F._qperm, F._rs_blk)
-    return (lambda v, *a: exe(a[0], a[1], a[2], a[3], a[4], v)), args
+    exe, args = F._ldiv_callable()
+    return (lambda v, *a: exe(*a, v)), args
 
 
 def _scipy_panel_time(A, R, reps=20):
@@ -136,9 +135,12 @@ def bench_config(cfg_id: int) -> dict:
 
         @jax.jit
         def chain(a, b):
-            # feed the solution back as the next RHS so every cycle is live
+            # feed the solution back as the next RHS, and perturb the matrix
+            # values by the carry so the refactorization is loop-variant —
+            # XLA's while-loop LICM would otherwise hoist a loop-invariant
+            # refactorization out of the body and time only the solves
             return lax.fori_loop(
-                0, N_CHAIN, lambda i, v: step(a, v), b
+                0, N_CHAIN, lambda i, v: step(a * (1 + 1e-6 * v[0, 0]), v), b
             )
 
         np.asarray(chain(data0, b))

@@ -1,8 +1,9 @@
-"""Fused Pallas solve kernel: interpret-mode equivalence on CPU.
+"""Fused Pallas ldiv kernel: interpret-mode equivalence on CPU.
 
-The kernel itself targets TPU (lane-aligned HBM slices, VMEM residency);
-interpret mode validates the level-stream schedule, the DMA choreography
-and the masking logic against the XLA scan engine.
+The op-stream kernel (ops/pallas_ldiv.py) targets TPU (lane-aligned pages,
+VMEM-resident panels); interpret mode validates the op ordering, the page
+DMA choreography, the phase-boundary zeroing and the panel routing against
+the XLA engine's full ``ldiv`` on the same factorization.
 """
 
 import jax.numpy as jnp
@@ -11,24 +12,55 @@ import pytest
 
 from tpu_sparse_lu import ParallelSparseLU, SolverConfig
 from tpu_sparse_lu.models import fe_block_matrix, laplacian_1d, poisson_2d
-from tpu_sparse_lu.ops.pallas_solve import (
-    build_stream,
-    pallas_tri_solve,
-    supports_pallas_plan,
+from tpu_sparse_lu.ops.pallas_ldiv import (
+    OP_NOP,
+    PAGE,
+    SRC_LDINV,
+    SRC_LOFF,
+    SRC_PERMP,
+    SRC_PERMQ,
+    SRC_UDINV,
+    SRC_UOFF,
+    build_ldiv_ops,
+    build_ldiv_stream,
+    pallas_fused_ldiv,
+    stream_gather_spec,
+    supports_fused_ldiv,
 )
-from tpu_sparse_lu.solve import block_rhs, blocked_tri_solve, prepare_tri_kernel
+from tpu_sparse_lu.solve import block_rhs, unblock_rhs
 
 
-def _data_with_stream(F):
-    ld = prepare_tri_kernel(
-        F.plan.lplan, F.ldata.diag, F.ldata.offdiag,
-        tri_mode="inv", build_pallas_stream=True,
+def _build_ops(F):
+    cs = F.plan.cs
+    ops = build_ldiv_ops(
+        F._pperm, F.plan.lplan, F.plan.uplan, F._qperm, KA=F._K_in
     )
-    ud = prepare_tri_kernel(
-        F.plan.uplan, F.udata.diag, F.udata.offdiag,
-        tri_mode="inv", build_pallas_stream=True,
+    assert ops is not None
+    permp = F._pperm.tiles.reshape(-1, cs, cs)
+    permq = F._qperm.tiles.reshape(-1, cs, cs)
+    sizes = {
+        SRC_PERMP: permp.shape[0],
+        SRC_LDINV: F.plan.lplan.K + 1,
+        SRC_LOFF: F.plan.lplan.T + 1,
+        SRC_UDINV: F.plan.uplan.K + 1,
+        SRC_UOFF: F.plan.uplan.T + 1,
+        SRC_PERMQ: permq.shape[0],
+    }
+    gather = jnp.asarray(stream_gather_spec(ops, sizes))
+    stream = build_ldiv_stream(
+        gather, permp,
+        F.ldata.diag_inv, F.ldata.offdiag,
+        F.udata.diag_inv, F.udata.offdiag,
+        permq, dtype=F.dtype,
     )
-    return ld, ud
+    return ops, stream
+
+
+def _fused_ldiv(F, b):
+    ops, stream = _build_ops(F)
+    xw = block_rhs(b, F.n, F._K_in, F.plan.cs) * F._rs_blk
+    out = pallas_fused_ldiv(ops, stream, xw, interpret=True)
+    return unblock_rhs(out, F.n)
 
 
 @pytest.mark.parametrize("make", [
@@ -37,70 +69,72 @@ def _data_with_stream(F):
     lambda rng: fe_block_matrix(rng, 10, 5),
 ])
 @pytest.mark.parametrize("R", [1, 4])
-def test_pallas_matches_xla(rng, make, R):
+def test_fused_ldiv_matches_xla(rng, make, R):
     A = make(rng)
     n = A.shape[0]
     F = ParallelSparseLU(
         A, config=SolverConfig(chunk_size=8, tri_mode="inv", dtype="float32")
     )
-    ld, ud = _data_with_stream(F)
     b = jnp.asarray(rng.random((n, R)), dtype=jnp.float32)
-    xw = block_rhs(b, n, F.plan.lplan.K, F.plan.cs)
-
-    ref_l = blocked_tri_solve(F.plan.lplan, F.ldata, xw, tri_mode="inv",
-                              schedule="scan")
-    got_l = pallas_tri_solve(F.plan.lplan, ld, xw, interpret=True)
-    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref_l),
-                               rtol=1e-5, atol=1e-6)
-
-    ref_u = blocked_tri_solve(F.plan.uplan, F.udata, ref_l, tri_mode="inv",
-                              schedule="scan")
-    got_u = pallas_tri_solve(F.plan.uplan, ud, got_l, interpret=True)
-    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u),
-                               rtol=1e-5, atol=1e-6)
+    ref = np.asarray(F.ldiv(b))  # XLA path (CPU backend -> not fused)
+    got = np.asarray(_fused_ldiv(F, b))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
-def test_stream_layout(rng):
-    """Grouped stream: every real tile appears exactly once, tiles of a
-    group share the destination chunk, and the wide slab holds the right
-    tile data in the right sub-column."""
-    from tpu_sparse_lu.ops.pallas_solve import GROUP, build_grouped_schedule
-
+def test_fused_ldiv_nd_embedding(rng):
+    """Rectangular perm maps (input space != factor space) through the
+    nested-dissection embedding."""
     A = poisson_2d(12, 12)
-    F = ParallelSparseLU(A, chunk_size=8)
-    plan = F.plan.lplan
-    cs = plan.cs
-    group_ids, g_src, g_dst = build_grouped_schedule(plan)
-    NL, MG, G = group_ids.shape
-    assert G == GROUP
-    # coverage: every real tile exactly once
-    real = group_ids[group_ids < plan.T]
-    assert sorted(real.tolist()) == list(range(plan.T))
-    # group invariants
-    for l in range(NL):
-        for j in range(MG):
-            for g in range(G):
-                t = group_ids[l, j, g]
-                if t < plan.T:
-                    assert g_dst[l, j] == plan.tile_brow[t]
-                    assert g_src[l, j, g] == plan.tile_bcol[t]
-                else:
-                    assert g_src[l, j, g] == plan.K
-    # wide stream data layout
-    off_stream, src, dst = build_stream(plan, F.ldata.offdiag)
-    assert off_stream.shape == (NL * MG, cs, G * cs)
-    off_np = np.asarray(F.ldata.offdiag)
-    stream_np = np.asarray(off_stream)
-    for l in range(NL):
-        for j in range(MG):
-            for g in range(G):
-                t = group_ids[l, j, g]
-                np.testing.assert_array_equal(
-                    stream_np[l * MG + j][:, g * cs:(g + 1) * cs], off_np[t]
-                )
+    F = ParallelSparseLU(
+        A, config=SolverConfig(chunk_size=16, tri_mode="inv",
+                               dtype="float32", ordering="nd")
+    )
+    assert F.n_factor > F.n  # the embedding actually extended
+    b = jnp.asarray(rng.random((A.shape[0], 3)), dtype=jnp.float32)
+    ref = np.asarray(F.ldiv(b))
+    got = np.asarray(_fused_ldiv(F, b))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
-def test_supports_pallas_plan_gates(rng):
+def test_op_stream_structure(rng):
+    """Every tile op appears exactly once, in dependency order."""
+    A = poisson_2d(12, 12)
+    F = ParallelSparseLU(A, chunk_size=8, config=None)
+    from tpu_sparse_lu.ops.pallas_ldiv import OP_ADD_B2B, OP_SET_B
+
+    ops = build_ldiv_ops(
+        F._pperm, F.plan.lplan, F.plan.uplan, F._qperm, KA=F._K_in
+    )
+    lplan, uplan = F.plan.lplan, F.plan.uplan
+    # coverage: each factor's diag ops == K, off-diag ops == T
+    n_set = int(np.sum(ops.code == OP_SET_B))
+    n_add = int(np.sum(ops.code == OP_ADD_B2B))
+    assert n_set == lplan.K + uplan.K
+    assert n_add == lplan.T + uplan.T
+    # padding is NOP only
+    assert np.all(ops.code[ops.n_ops:] == OP_NOP)
+    assert ops.code.shape[0] % PAGE == 0
+    # dependency order within L: a chunk's diag solve precedes every op
+    # consuming it as source, and follows every op targeting it
+    seen_solved = set()
+    phase = 0
+    for i in range(ops.n_ops):
+        c, s, d = int(ops.code[i]), int(ops.src[i]), int(ops.dst[i])
+        if c == OP_SET_B and ops.tile_base[i] == SRC_LDINV:
+            seen_solved.add(d)
+        if c == OP_ADD_B2B and ops.tile_base[i] == SRC_LOFF:
+            assert s in seen_solved  # source chunk already solved
+            assert d not in seen_solved  # destination not yet solved
+
+
+def test_supports_fused_ldiv_gates(rng):
     A = poisson_2d(10, 10)
-    F8 = ParallelSparseLU(A, chunk_size=8)
-    assert not supports_pallas_plan(F8.plan.lplan, 16)  # not lane-aligned
+    F8 = ParallelSparseLU(
+        A, config=SolverConfig(chunk_size=8, tri_mode="inv", dtype="float32")
+    )
+    ops = build_ldiv_ops(
+        F8._pperm, F8.plan.lplan, F8.plan.uplan, F8._qperm, KA=F8._K_in
+    )
+    assert not supports_fused_ldiv(ops, 16)          # cs=8 not lane-aligned
+    assert not supports_fused_ldiv(None, 16)
+    assert not supports_fused_ldiv(ops, 16, itemsize=8)  # f64

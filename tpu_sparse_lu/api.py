@@ -229,15 +229,12 @@ class ParallelSparseLU:
             plan.uplan, np.asarray(self._factors.U.data, dtype=self.dtype)
         )
         mode = self.config.tri_mode
-        want_stream = self._pallas_eligible()
         with jax.default_matmul_precision(self.config.matmul_precision):
             self.ldata: TriKernelData = prepare_tri_kernel(
                 plan.lplan, ldiag, loff, tri_mode=mode,
-                build_pallas_stream=want_stream,
             )
             self.udata: TriKernelData = prepare_tri_kernel(
                 plan.uplan, udiag, uoff, tri_mode=mode,
-                build_pallas_stream=want_stream,
             )
         # permutation/scaling for ldiv (src:324-339): block-one-hot matmul
         # plans (ops/permute.py — TPU row-gather is serialized and slow),
@@ -270,20 +267,64 @@ class ParallelSparseLU:
         rs = np.zeros(self._K_in * cs + cs, dtype=self.dtype)
         rs[:n_in] = rs_orig
         self._rs_blk = jnp.asarray(rs.reshape(self._K_in + 1, cs, 1))
+        self._prepare_fused_ldiv()
+
+    def _prepare_fused_ldiv(self) -> None:
+        """Build (when eligible) the fused-ldiv op stream: the whole
+        perm → lsolve → rsolve → unperm pipeline as ONE Pallas program
+        (ops/pallas_ldiv.py). ``_ldiv_stream`` is the device tile stream;
+        it is refreshed by device refactorizations."""
+        self._ldiv_ops = None
+        self._ldiv_stream = jnp.zeros((0,), self.dtype)  # dummy jit arg
+        if not self._pallas_eligible():
+            return
+        from .ops.pallas_ldiv import (
+            SRC_LDINV, SRC_LOFF, SRC_PERMP, SRC_PERMQ, SRC_UDINV, SRC_UOFF,
+            build_ldiv_ops, build_ldiv_stream, stream_gather_spec,
+        )
+
+        plan = self.plan
+        ops = build_ldiv_ops(
+            self._pperm, plan.lplan, plan.uplan, self._qperm, KA=self._K_in
+        )
+        if ops is None:
+            return
+        cs = plan.cs
+        permp = self._pperm.tiles.reshape(-1, cs, cs)
+        permq = self._qperm.tiles.reshape(-1, cs, cs)
+        sizes = {
+            SRC_PERMP: permp.shape[0],
+            SRC_LDINV: plan.lplan.K + 1,
+            SRC_LOFF: plan.lplan.T + 1,
+            SRC_UDINV: plan.uplan.K + 1,
+            SRC_UOFF: plan.uplan.T + 1,
+            SRC_PERMQ: permq.shape[0],
+        }
+        self._ldiv_ops = ops
+        self._ldiv_gather = jnp.asarray(stream_gather_spec(ops, sizes))
+        self._permp_flat = permp
+        self._permq_flat = permq
+        self._ldiv_stream = build_ldiv_stream(
+            self._ldiv_gather, permp,
+            self.ldata.diag_inv, self.ldata.offdiag,
+            self.udata.diag_inv, self.udata.offdiag,
+            permq, dtype=self.dtype,
+        )
 
     def _pallas_eligible(self) -> bool:
-        """Whether the fused Pallas kernel (ops/pallas_solve.py) can serve
-        this factorization's solves (final per-shape check at trace time)."""
-        from .ops.pallas_solve import supports_pallas
-
+        """Whether the fused Pallas ldiv kernel (ops/pallas_ldiv.py) can
+        serve this factorization (final per-RHS-shape check at trace time)."""
         cfg = self.config.use_pallas
         if cfg == "never":
             return False
-        if self.config.tri_mode not in ("inv", "inv_refine"):
+        if self.config.tri_mode != "inv":
             return False
         if self.plan.cs % 128 != 0:
             return False
-        return supports_pallas() or cfg == "always"
+        if jnp.dtype(self.dtype).itemsize != 4:
+            # the kernel's lane tiling and VMEM budget assume 4-byte words
+            return False
+        return jax.default_backend() == "tpu" or cfg == "always"
 
     # -- functional core (jitted per RHS shape) -----------------------------
     def _exe(self, kind: str):
@@ -302,25 +343,15 @@ class ParallelSparseLU:
                     return f(*a)
             return wrapped
 
-        pallas_ok = self._pallas_eligible()
-
         def tri(tplan, tdata, xw):
-            # static (trace-time) dispatch between the fused Pallas kernel
-            # and the XLA scan path, per RHS width
-            if pallas_ok and tdata.off_stream is not None:
-                from .ops.pallas_solve import (
-                    pallas_tri_solve,
-                    supports_pallas_plan,
-                )
-
-                if supports_pallas_plan(tplan, xw.shape[-1]):
-                    return pallas_tri_solve(tplan, tdata, xw)
             return blocked_tri_solve(
                 tplan, tdata, xw, tri_mode=mode, schedule=schedule
             )
 
         n_in = self._n_orig
         K_in = self._K_in
+        ops = self._ldiv_ops
+        interpret = jax.default_backend() != "tpu"
 
         def lsolve(ldata, b):
             xw = block_rhs(b, n, plan.lplan.K, cs)
@@ -330,14 +361,21 @@ class ParallelSparseLU:
             xw = block_rhs(b, n, plan.uplan.K, cs)
             return unblock_rhs(tri(plan.uplan, udata, xw), n)
 
-        def ldiv(ldata, udata, pperm, qperm, rs_blk, b):
+        def ldiv(ldata, udata, pperm, qperm, rs_blk, stream, b):
+            from .ops.pallas_ldiv import pallas_fused_ldiv, supports_fused_ldiv
             from .ops.permute import apply_perm
 
             xw = block_rhs(b, n_in, K_in, cs)
             # wrk = (Rs .* b)[p] == P(Rs ⊙ b)  (src:324-327) — scale in
             # input order, then permute (composed with the nd embedding
-            # when active) via block-one-hot matmul
-            xw = apply_perm(pperm, xw * rs_blk)
+            # when active)
+            xw = xw * rs_blk
+            # static (trace-time) dispatch: the fused Pallas program when
+            # the op stream exists and this RHS width fits VMEM
+            if ops is not None and supports_fused_ldiv(ops, xw.shape[-1]):
+                xw = pallas_fused_ldiv(ops, stream, xw, interpret=interpret)
+                return unblock_rhs(xw, n_in)
+            xw = apply_perm(pperm, xw)       # block-one-hot matmul perm
             xw = tri(plan.lplan, ldata, xw)  # forward subst. (src:330)
             xw = tri(plan.uplan, udata, xw)  # backward subst. (src:333)
             # un-pivot: x[q] = wrk  (src:337-339)
@@ -394,14 +432,21 @@ class ParallelSparseLU:
         if self.m != self.n:
             raise ValueError(f"`F` is not square: m={self.m}, n={self.n}")
         b, squeeze = self._as_rhs(b)
-        exe = self._exe("ldiv")
-        args = (self.ldata, self.udata, self._pperm, self._qperm,
-                self._rs_blk)
+        exe, args = self._ldiv_callable()
         x = exe(*args, b)
         for _ in range(refine_steps):
             r = b - self.matvec(x)
             x = x + exe(*args, r)
         return x[:, 0] if squeeze else x
+
+    def _ldiv_callable(self):
+        """(jitted executable, device args) for the full ldiv — the args
+        tuple is what benchmark harnesses should pass explicitly (baked
+        closure constants compile pathologically through an RPC tunnel)."""
+        exe = self._exe("ldiv")
+        args = (self.ldata, self.udata, self._pperm, self._qperm,
+                self._rs_blk, self._ldiv_stream)
+        return exe, args
 
     solve = ldiv
     __call__ = ldiv
@@ -513,13 +558,6 @@ class ParallelSparseLU:
             "l_off_src": jnp.asarray(rp.l_off_src),
             "u_off_src": jnp.asarray(rp.u_off_src),
         }
-        from .ops.pallas_solve import grouped_schedule
-
-        for name, tplan in (("l", lplan), ("u", uplan)):
-            gids, _, _ = grouped_schedule(tplan)
-            self._refactor_dev[f"{name}_group_ids"] = jnp.asarray(
-                gids.reshape(-1)
-            )
         self._prepare_device()
 
     def refactor_numeric(self, A: sp.spmatrix) -> None:
@@ -535,7 +573,7 @@ class ParallelSparseLU:
 
         refactor_same_pattern(self, sp.csc_matrix(A))
 
-    def make_refactor_solve_step(self):
+    def make_refactor_solve_step(self, *, refine_steps: int = 0):
         """Fully-fused production step: ``step(a_data, b) -> x`` where
         ``a_data`` is A's new nonzero values (same pattern, original CSC
         order) and ``b`` an ``(n, R)`` RHS panel.
@@ -546,8 +584,14 @@ class ParallelSparseLU:
         test/runtests.jl:108-188) with zero intermediate host syncs.
         Does not mutate F's cached state; call ``refactor_numeric`` for
         that.
+
+        ``refine_steps`` — in-step iterative-refinement sweeps: after the
+        direct solve, ``x += solve(b - A x)`` reusing the in-program SpMV
+        tiles (refreshed from ``a_data``). One step recovers the two-call
+        path's accuracy in fp32.
         """
         from .ops.permute import apply_perm
+        from .ops.spmv import apply_spmv, refresh_spmv_values
         from .refactor import _refactor_pipeline
         from .solve import TriKernelData, blocked_tri_solve
 
@@ -556,36 +600,19 @@ class ParallelSparseLU:
         dev = self._refactor_dev
         plan = self.plan
         mode = self.config.tri_mode
-        want_stream = self._pallas_eligible()
         n, cs, K = plan.n, plan.cs, plan.lplan.K
         prec = self.config.matmul_precision
+        ops = self._ldiv_ops
+        interpret = jax.default_backend() != "tpu"
 
-        def mk(tplan, diag, off, dinv, stream):
-            src = dst = None
-            if want_stream:
-                from .ops.pallas_solve import grouped_schedule
-
-                _, g_src, g_dst = grouped_schedule(tplan)
-                src = jnp.asarray(g_src)
-                dst = jnp.asarray(g_dst)
+        def mk(tplan, diag, off, dinv):
             return TriKernelData(
                 diag=diag, diag_inv=dinv, offdiag=off,
                 level_chunks=jnp.asarray(tplan.level_chunks),
                 level_tiles=jnp.asarray(tplan.level_tiles),
                 tile_brow=jnp.asarray(tplan.tile_brow),
                 tile_bcol=jnp.asarray(tplan.tile_bcol),
-                off_stream=stream, src_stream=src, dst_stream=dst,
             )
-
-        def tri(tplan, tdata, xw):
-            if want_stream and tdata.off_stream is not None:
-                from .ops.pallas_solve import (
-                    pallas_tri_solve, supports_pallas_plan)
-
-                if supports_pallas_plan(tplan, xw.shape[-1]):
-                    return pallas_tri_solve(tplan, tdata, xw)
-            return blocked_tri_solve(tplan, tdata, xw, tri_mode=mode,
-                                     schedule=self.config.schedule)
 
         n_in, K_in = self._n_orig, self._K_in
         ext = self._ext
@@ -593,11 +620,17 @@ class ParallelSparseLU:
         ext_pos = None if ext is None else jnp.asarray(ext["pos"])
 
         @jax.jit
-        def step(a_data, b, pperm, qperm):
+        def step(a_data, b, pperm, qperm, gather, permp, permq,
+                 spmv, spmv_dest):
             with jax.default_matmul_precision(prec):
-                from .ops.pallas_solve import grouped_schedule as _gs
+                from .ops.pallas_ldiv import (
+                    build_ldiv_stream,
+                    pallas_fused_ldiv,
+                    supports_fused_ldiv,
+                )
 
-                a_data = a_data.astype(self.dtype)
+                a_orig = a_data.astype(self.dtype)
+                a_data = a_orig
                 if ext is not None:
                     # map original values into the nd embedding (device
                     # gather; pass factor-space values to skip it)
@@ -607,30 +640,66 @@ class ParallelSparseLU:
                 out = _refactor_pipeline(
                     a_data, dev,
                     n=rp.n, cs=rp.cs, TF=rp.TF, tri_mode=mode,
-                    want_stream=want_stream,
-                    l_gshape=_gs(plan.lplan)[0].shape,
-                    u_gshape=_gs(plan.uplan)[0].shape,
                 )
-                ldata = mk(plan.lplan, out["ldiag"], out["loff"],
-                           out.get("ldiag_inv"), out.get("l_stream"))
-                udata = mk(plan.uplan, out["udiag"], out["uoff"],
-                           out.get("udiag_inv"), out.get("u_stream"))
                 rs = out["rs"]
                 if ext is not None:
                     rs = rs[ext_pos]
                 rs_pad = jnp.zeros((K_in * cs + cs,), self.dtype).at[
                     :n_in].set(rs.astype(self.dtype))
                 rs_blk = rs_pad.reshape(K_in + 1, cs, 1)
-                xw = block_rhs(b.astype(self.dtype), n_in, K_in, cs)
-                xw = apply_perm(pperm, xw * rs_blk)
-                xw = tri(plan.lplan, ldata, xw)
-                xw = tri(plan.uplan, udata, xw)
-                xw = apply_perm(qperm, xw)
-                return unblock_rhs(xw, n_in)
+                b32 = b.astype(self.dtype)
+                fused = ops is not None and supports_fused_ldiv(
+                    ops, b32.shape[-1]
+                )
+                if fused:
+                    stream = build_ldiv_stream(
+                        gather, permp,
+                        out["ldiag_inv"], out["loff"],
+                        out["udiag_inv"], out["uoff"],
+                        permq, dtype=self.dtype,
+                    )
+                else:
+                    ldata = mk(plan.lplan, out["ldiag"], out["loff"],
+                               out.get("ldiag_inv"))
+                    udata = mk(plan.uplan, out["udiag"], out["uoff"],
+                               out.get("udiag_inv"))
 
+                def solve(v):
+                    xw = block_rhs(v, n_in, K_in, cs) * rs_blk
+                    if fused:
+                        xw = pallas_fused_ldiv(
+                            ops, stream, xw, interpret=interpret
+                        )
+                        return unblock_rhs(xw, n_in)
+                    xw = apply_perm(pperm, xw)
+                    xw = blocked_tri_solve(
+                        plan.lplan, ldata, xw, tri_mode=mode,
+                        schedule=self.config.schedule,
+                    )
+                    xw = blocked_tri_solve(
+                        plan.uplan, udata, xw, tri_mode=mode,
+                        schedule=self.config.schedule,
+                    )
+                    xw = apply_perm(qperm, xw)
+                    return unblock_rhs(xw, n_in)
+
+                x = solve(b32)
+                if refine_steps:
+                    # in-step refinement: SpMV tiles refreshed from the
+                    # SAME a_data this step factorizes (original values)
+                    spmv_new = refresh_spmv_values(spmv, spmv_dest, a_orig)
+                    for _ in range(refine_steps):
+                        x = x + solve(b32 - apply_spmv(spmv_new, x))
+                return x
+
+        gather = self._ldiv_gather if ops is not None else None
+        permp = self._permp_flat if ops is not None else None
+        permq = self._permq_flat if ops is not None else None
         return lambda a_data, b: step(
-            jnp.asarray(a_data), jnp.asarray(b), self._pperm, self._qperm
+            jnp.asarray(a_data), jnp.asarray(b), self._pperm, self._qperm,
+            gather, permp, permq, self._spmv, self._spmv_dest,
         )
+
 
     # -- misc ---------------------------------------------------------------
     def save_symbolic(self, path: str) -> None:

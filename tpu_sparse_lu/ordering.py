@@ -53,6 +53,8 @@ def _dissect(adj_indptr, adj_indices, nodes_list, cutoff):
     stack = [(nodes_list, 0)]
     while stack:
         nodes_list, d = stack.pop()
+        if not nodes_list:
+            continue
         if len(nodes_list) <= cutoff:
             groups.append((d, nodes_list))
             continue
@@ -78,7 +80,8 @@ def _dissect(adj_indptr, adj_indices, nodes_list, cutoff):
         if not half_a or not half_b:
             groups.append((d, order))
             continue
-        groups.append((d, sep))       # separator eliminated LAST (stage
+        if sep:                        # median may be a non-attained level
+            groups.append((d, sep))    # separator eliminated LAST (stage
         stack.append((half_b, d + 1))  # ordering below: larger depth first)
         stack.append((half_a, d + 1))
     return groups
@@ -121,6 +124,8 @@ def staged_extension(A: sp.spmatrix, cs: int, cutoff: int = None):
     for d in sorted(by_stage.keys(), reverse=True):  # deepest first
         bins = []
         for g in sorted(by_stage[d], key=len, reverse=True):
+            if not g:
+                continue
             if len(g) >= cs:
                 # dedicated bins, padded to a chunk multiple
                 for i in range(0, len(g), cs):

@@ -384,16 +384,14 @@ def _extract_solve_tiles(tiles, diag_src, l_off_src, u_off_src, *, cs: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "cs", "TF", "tri_mode", "want_stream",
-                     "l_gshape", "u_gshape"),
+    static_argnames=("n", "cs", "TF", "tri_mode"),
 )
-def _refactor_pipeline(a_data, dev, *, n, cs, TF, tri_mode, want_stream,
-                       l_gshape=None, u_gshape=None):
+def _refactor_pipeline(a_data, dev, *, n, cs, TF, tri_mode):
     """The WHOLE numeric refactorization as one program: assemble →
-    blocked elimination → solve-tile extraction → tile inverses → Pallas
-    tile streams. One dispatch per refactorization — through an
-    RPC-tunneled device, eager per-op round-trips (~0.7-3 ms each) would
-    otherwise dominate the numeric work many times over (measured)."""
+    blocked elimination → solve-tile extraction → tile inverses. One
+    dispatch per refactorization — through an RPC-tunneled device, eager
+    per-op round-trips (~0.7-3 ms each) would otherwise dominate the
+    numeric work many times over (measured)."""
     from .ops.tri_inverse import tri_inverse
 
     tiles, rs = _assemble_input(
@@ -413,14 +411,6 @@ def _refactor_pipeline(a_data, dev, *, n, cs, TF, tri_mode, want_stream,
         with jax.default_matmul_precision("highest"):
             out["ldiag_inv"] = tri_inverse(ldiag, lower=True)
             out["udiag_inv"] = tri_inverse(udiag, lower=False)
-    if want_stream:
-        def wide(off, ids, shp):
-            NL, MG, G = shp
-            g = off[ids].reshape(NL * MG, G, cs, cs)
-            return g.transpose(0, 2, 1, 3).reshape(NL * MG, cs, G * cs)
-
-        out["l_stream"] = wide(loff, dev["l_group_ids"], l_gshape)
-        out["u_stream"] = wide(uoff, dev["u_group_ids"], u_gshape)
     return out
 
 
@@ -429,25 +419,16 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
     CSC order). Updates F's device solve state in place."""
     rp: RefactorPlan = F._refactor_plan
     mode = F.config.tri_mode
-    want_stream = F._pallas_eligible()
     dev = F._refactor_dev
-    from .ops.pallas_solve import grouped_schedule
 
     out = _refactor_pipeline(
         jnp.asarray(a_data, dtype=F.dtype), dev,
-        n=rp.n, cs=rp.cs, TF=rp.TF, tri_mode=mode, want_stream=want_stream,
-        l_gshape=grouped_schedule(F.plan.lplan)[0].shape,
-        u_gshape=grouped_schedule(F.plan.uplan)[0].shape,
+        n=rp.n, cs=rp.cs, TF=rp.TF, tri_mode=mode,
     )
 
-    def kern(plan, diag, off, dinv, stream):
+    def kern(plan, diag, off, dinv):
         from .solve import TriKernelData
 
-        src = dst = None
-        if want_stream:
-            _, g_src, g_dst = grouped_schedule(plan)
-            src = jnp.asarray(g_src)
-            dst = jnp.asarray(g_dst)
         return TriKernelData(
             diag=diag,
             diag_inv=dinv,
@@ -456,15 +437,23 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
             level_tiles=jnp.asarray(plan.level_tiles),
             tile_brow=jnp.asarray(plan.tile_brow),
             tile_bcol=jnp.asarray(plan.tile_bcol),
-            off_stream=stream,
-            src_stream=src,
-            dst_stream=dst,
         )
 
     F.ldata = kern(F.plan.lplan, out["ldiag"], out["loff"],
-                   out.get("ldiag_inv"), out.get("l_stream"))
+                   out.get("ldiag_inv"))
     F.udata = kern(F.plan.uplan, out["udiag"], out["uoff"],
-                   out.get("udiag_inv"), out.get("u_stream"))
+                   out.get("udiag_inv"))
+    if F._ldiv_ops is not None:
+        # refresh the fused-ldiv tile stream (perm segments are
+        # value-independent; only the L/U slices change)
+        from .ops.pallas_ldiv import build_ldiv_stream
+
+        F._ldiv_stream = build_ldiv_stream(
+            F._ldiv_gather, F._permp_flat,
+            out["ldiag_inv"], out["loff"],
+            out["udiag_inv"], out["uoff"],
+            F._permq_flat, dtype=F.dtype,
+        )
     rs = out["rs"]
     # Rs changed; p, q are static. rs is in factor row order == input row
     # order (no gather), except under the nd embedding where it maps back

@@ -68,10 +68,9 @@ def _bmm(a, b):
 class TriKernelData:
     """Device-resident numeric data + schedule for one triangular factor.
 
-    The three ``*_stream`` fields are the level-major tile stream consumed
-    by the fused Pallas kernel (ops/pallas_solve.py); they are ``None``
-    unless packed with ``build_pallas_stream=True``.
-    """
+    Consumed by the XLA level-scan engine (:func:`blocked_tri_solve`) and
+    the mesh engines; the fused Pallas ldiv (ops/pallas_ldiv.py) instead
+    consumes a flat op stream built from the same tiles."""
 
     diag: jax.Array  # (K+1, cs, cs) diagonal tiles (padding rows = I)
     diag_inv: Optional[jax.Array]  # (K+1, cs, cs) tile inverses, or None
@@ -80,15 +79,11 @@ class TriKernelData:
     level_tiles: jax.Array  # (NL, MT) int32
     tile_brow: jax.Array  # (T+1,) int32
     tile_bcol: jax.Array  # (T+1,) int32
-    off_stream: Optional[jax.Array] = None  # (NL*MT, cs, cs)
-    src_stream: Optional[jax.Array] = None  # (NL, MT) int32
-    dst_stream: Optional[jax.Array] = None  # (NL, MT) int32
 
     def tree_flatten(self):
         return (
             (self.diag, self.diag_inv, self.offdiag, self.level_chunks,
-             self.level_tiles, self.tile_brow, self.tile_bcol,
-             self.off_stream, self.src_stream, self.dst_stream),
+             self.level_tiles, self.tile_brow, self.tile_bcol),
             None,
         )
 
@@ -117,7 +112,6 @@ def prepare_tri_kernel(
     offdiag: jax.Array,
     *,
     tri_mode: str,
-    build_pallas_stream: bool = False,
 ) -> TriKernelData:
     """Assemble device data for :func:`blocked_tri_solve` from packed tiles.
 
@@ -128,11 +122,6 @@ def prepare_tri_kernel(
     diag_inv = None
     if tri_mode in ("inv", "inv_refine"):
         diag_inv = tile_inverses(diag, lower=plan.lower, unit=False)
-    off_stream = src_stream = dst_stream = None
-    if build_pallas_stream:
-        from .ops.pallas_solve import build_stream
-
-        off_stream, src_stream, dst_stream = build_stream(plan, offdiag)
     return TriKernelData(
         diag=diag,
         diag_inv=diag_inv,
@@ -141,9 +130,6 @@ def prepare_tri_kernel(
         level_tiles=jnp.asarray(plan.level_tiles),
         tile_brow=jnp.asarray(plan.tile_brow),
         tile_bcol=jnp.asarray(plan.tile_bcol),
-        off_stream=off_stream,
-        src_stream=src_stream,
-        dst_stream=dst_stream,
     )
 
 
