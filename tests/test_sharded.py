@@ -94,3 +94,43 @@ def test_dp_multi_rhs_sharding(rng):
     X = np.asarray(solve(B))
     X1 = np.asarray(F.ldiv(B))
     np.testing.assert_allclose(X, X1, rtol=1e-13, atol=1e-13)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_ldiv_nd_ordering(rng, ndev):
+    """ordering="nd" composes with the mesh engine: the rectangular perm
+    plans bridge input space and the extended factor space (VERDICT r1 #3)."""
+    A = poisson_2d(12, 10)
+    n = A.shape[0]
+    F = ParallelSparseLU(
+        A, config=SolverConfig(chunk_size=8, ordering="nd")
+    )
+    assert F.n_factor > F.n
+    mesh = make_mesh(ndev)
+    solve = make_sharded_ldiv(F, mesh)
+    b = rng.random(n)
+    x = np.asarray(solve(b))
+    assert_isapprox(x, spla.spsolve(A, b), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(
+        x, np.asarray(F.ldiv(b)), rtol=1e-13, atol=1e-13
+    )
+
+
+def test_pipeline_or_sharded_nd(rng):
+    """The config-5 composition: nd ordering + distributed engines, with
+    the pipeline engine falling back to the psum engine when the nd
+    pattern's crossings exceed one device boundary."""
+    from tpu_sparse_lu.models import block_banded
+    from tpu_sparse_lu.parallel.pipeline_solve import make_pipeline_ldiv
+
+    A = block_banded(rng, 24, 8)
+    F = ParallelSparseLU(
+        A, config=SolverConfig(chunk_size=8, ordering="nd")
+    )
+    mesh = make_mesh(4)
+    solve = make_pipeline_ldiv(F, mesh) or make_sharded_ldiv(F, mesh)
+    b = rng.random((A.shape[0], 3))
+    X = np.asarray(solve(b))
+    for j in range(3):
+        assert_isapprox(X[:, j], spla.spsolve(A.tocsc(), b[:, j]),
+                        rtol=1e-9, atol=1e-9)

@@ -307,11 +307,6 @@ def make_pipeline_ldiv(F, mesh: Mesh, axis: str = "chunks",
     Returns ``solve(b)`` or None when either factor's pattern crosses more
     than one device boundary (use :func:`make_sharded_ldiv` instead).
     """
-    if getattr(F, "_ext", None) is not None:
-        raise NotImplementedError(
-            "the pipelined solve is not yet composed with the "
-            "ordering='nd' embedding; build F with the default ordering"
-        )
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     lp = build_pipeline_plan(F.plan.lplan, D)
     up = build_pipeline_plan(F.plan.uplan, D)
@@ -322,13 +317,16 @@ def make_pipeline_ldiv(F, mesh: Mesh, axis: str = "chunks",
 
     plan = F.plan
     tri_mode = F.config.tri_mode
-    n, cs = plan.n, plan.cs
+    cs = plan.cs
+    # input space may differ from factor space (ordering="nd" embedding);
+    # the rectangular PermPlans bridge the two
+    n_in, K_in = F._n_orig, F._K_in
     prec = F.config.matmul_precision
 
     @jax.jit
     def run(ldata, udata, pperm, qperm, rs_blk, b):
         with jax.default_matmul_precision(prec):
-            xw = block_rhs(b, n, plan.lplan.K, cs)
+            xw = block_rhs(b, n_in, K_in, cs)
             xw = apply_perm(pperm, xw * rs_blk)
             xw = pipeline_tri_solve(
                 mesh, axis, plan.lplan, lp, ldata, xw,
@@ -339,7 +337,7 @@ def make_pipeline_ldiv(F, mesh: Mesh, axis: str = "chunks",
                 micro_panels=micro_panels, tri_mode=tri_mode,
             )
             xw = apply_perm(qperm, xw)
-            return unblock_rhs(xw, n)
+            return unblock_rhs(xw, n_in)
 
     def solve(b):
         b = jnp.asarray(b, dtype=F.dtype)

@@ -187,53 +187,62 @@ def sharded_ldiv(
     usplan: ShardedTriPlan,
     ldata: TriKernelData,
     udata: TriKernelData,
-    p: jax.Array,
-    qinv: jax.Array,
-    rs_p: jax.Array,
+    pperm,
+    qperm,
+    rs_blk: jax.Array,
     b: jax.Array,
     *,
+    n_in: int,
+    K_in: int,
     tri_mode: str = "trsm",
 ) -> jax.Array:
     """Full permute-scale → lsolve → rsolve → unpermute across the mesh
-    (reference ldiv! semantics, src:286-342)."""
-    n, cs = plan.n, plan.cs
-    wrk = rs_p[:, None] * b[p]
-    xw = block_rhs(wrk, n, plan.lplan.K, cs)
+    (reference ldiv! semantics, src:286-342).
+
+    Permutations are the block-one-hot :class:`~..ops.permute.PermPlan`
+    applies of the single-device path — rectangular maps, so the
+    ordering="nd" embedding (input space ≠ factor space) composes: the
+    perms run replicated outside the shard_map, the level-striped solves
+    run on the factor-space carrier."""
+    from ..ops.permute import apply_perm
+
+    cs = plan.cs
+    xw = block_rhs(b, n_in, K_in, cs) * rs_blk   # wrk = Rs ⊙ b (src:324-327)
+    xw = apply_perm(pperm, xw)                   # → factor space
     xw = sharded_blocked_tri_solve(
         mesh, axis, plan.lplan, lsplan, ldata, xw, tri_mode=tri_mode
     )
     xw = sharded_blocked_tri_solve(
         mesh, axis, plan.uplan, usplan, udata, xw, tri_mode=tri_mode
     )
-    return unblock_rhs(xw, n)[qinv]
+    xw = apply_perm(qperm, xw)                   # x[q] = wrk (src:337-339)
+    return unblock_rhs(xw, n_in)
 
 
 def make_sharded_ldiv(F, mesh: Mesh, axis: str = "chunks"):
     """Build a jitted mesh-parallel ``ldiv`` from a ``ParallelSparseLU``.
 
     Returns ``solve(b)`` accepting ``(n,)`` or ``(n, R)``; the solve runs
-    level-striped over the mesh devices. Reuses F's packed tiles; call again
+    level-striped over the mesh devices. Composes with every ordering,
+    including the "nd" embedding. Reuses F's packed tiles; call again
     after a refactorization.
     """
-    if getattr(F, "_ext", None) is not None:
-        raise NotImplementedError(
-            "mesh-sharded solves are not yet composed with the "
-            "ordering='nd' embedding; build F with the default ordering"
-        )
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     lsp = build_sharded_tri_plan(F.plan.lplan, D)
     usp = build_sharded_tri_plan(F.plan.uplan, D)
     plan = F.plan
     tri_mode = F.config.tri_mode
+    n_in, K_in = F._n_orig, F._K_in
 
     prec = F.config.matmul_precision
 
     @jax.jit
-    def run(ldata, udata, p, qinv, rs_p, b):
+    def run(ldata, udata, pperm, qperm, rs_blk, b):
         with jax.default_matmul_precision(prec):
             return sharded_ldiv(
-                mesh, axis, plan, lsp, usp, ldata, udata, p, qinv, rs_p, b,
-                tri_mode=tri_mode,
+                mesh, axis, plan, lsp, usp, ldata, udata,
+                pperm, qperm, rs_blk, b,
+                n_in=n_in, K_in=K_in, tri_mode=tri_mode,
             )
 
     def solve(b):
@@ -241,7 +250,7 @@ def make_sharded_ldiv(F, mesh: Mesh, axis: str = "chunks"):
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]
-        x = run(F.ldata, F.udata, F._p_dev, F._qinv_dev, F._rs_p_dev, b)
+        x = run(F.ldata, F.udata, F._pperm, F._qperm, F._rs_blk, b)
         return x[:, 0] if squeeze else x
 
     return solve
