@@ -138,3 +138,62 @@ def test_fused_refactor_solve_step(rng):
     b1 = rng.random(n)
     assert_isapprox(np.asarray(F.ldiv(b1)), spla.spsolve(A, b1),
                     rtol=TOL, atol=TOL)
+
+
+def test_refactor_diagnostics_benign(rng):
+    """Benign value change: growth ~ 1, finite min pivot, device kept."""
+    A = laplacian_1d(64)
+    F = ParallelSparseLU(A, chunk_size=8)
+    kept = F.refactor_numeric(_perturb_values(rng, A, 0.05), check=True)
+    assert kept
+    d = F.refactor_diagnostics
+    assert np.isfinite(float(d["growth"]))
+    assert float(d["min_pivot"]) > 0
+    assert float(d["growth"]) < 100
+
+
+def test_refactor_hostile_values_detected(rng):
+    """Values that demand a different pivot order (VERDICT r1 #5): the
+    frozen static pivots blow up; check=True detects it and falls back to
+    the re-pivoting host path, keeping the solve accurate."""
+    n = 32
+    rng2 = np.random.default_rng(3)
+    A = sp.csc_matrix(
+        np.eye(n) * 4.0 + 0.5 * rng2.standard_normal((n, n))
+    )
+    F = ParallelSparseLU(A, chunk_size=8)
+    # same pattern, but the leading diagonal entry collapses: the frozen
+    # pivot divides by ~1e-14 of the row max -> astronomical growth
+    A2 = A.copy().tolil()
+    A2[0, 0] = 1e-13
+    A2 = sp.csc_matrix(A2)
+    assert A2.nnz == A.nnz  # pattern unchanged
+    kept = F.refactor_numeric(A2, check=True)
+    d = F.refactor_diagnostics
+    assert (not np.isfinite(float(d["growth"]))) or float(d["growth"]) > 1e7
+    assert not kept  # fell back to the host (re-pivoting) path
+    b = rng.random(n)
+    assert_isapprox(np.asarray(F.ldiv(b)), spla.spsolve(A2, b),
+                    rtol=1e-9, atol=1e-9)
+
+
+def test_fused_step_in_step_refinement(rng):
+    """refine_steps inside make_refactor_solve_step matches the two-call
+    path's refined accuracy (VERDICT r1 #7)."""
+    A = poisson_2d(8, 8)
+    n = A.shape[0]
+    F = ParallelSparseLU(
+        A, config=SolverConfig(chunk_size=8, tri_mode="inv", dtype="float32")
+    )
+    step0 = F.make_refactor_solve_step()
+    step1 = F.make_refactor_solve_step(refine_steps=1)
+    A2 = _perturb_values(rng, A, scale=0.05)
+    b = rng.random((n, 2))
+    x_exact = np.column_stack(
+        [spla.spsolve(A2, b[:, j]) for j in range(2)]
+    )
+    e0 = np.linalg.norm(np.asarray(step0(A2.data, b)) - x_exact)
+    e1 = np.linalg.norm(np.asarray(step1(A2.data, b)) - x_exact)
+    # fp32: one refinement sweep must tighten the solution materially
+    assert e1 <= e0
+    assert e1 < 1e-4 * np.linalg.norm(x_exact)

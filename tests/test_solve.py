@@ -198,3 +198,82 @@ def test_matvec_tile_spmv(rng):
     F.refactor_numeric(A2)
     np.testing.assert_allclose(np.asarray(F.matvec(v)), A2 @ v,
                                rtol=1e-12, atol=1e-12)
+
+
+def test_refactor_pattern_change_reallocates(rng):
+    """The reference's reallocate branch (src:265-273): refactor() with a
+    DIFFERENT sparsity pattern must re-plan, re-allocate and solve right.
+    (Reference test gap closed — its test_matrix keeps the pattern.)"""
+    A = fe_block_matrix(rng, 10, 5)
+    n = A.shape[0]
+    F = ParallelSparseLU(A, chunk_size=8)
+    old_sig = F._factors.pattern_signature()
+    # densify a band: new nonzeros → new L/U pattern
+    A2 = (A + sp.diags([np.full(n - 3, 0.7)], [3], format="csc")).tocsc()
+    assert A2.nnz != A.nnz
+    F.refactor(A2)
+    assert F._factors.pattern_signature() != old_sig
+    b = rng.random(n)
+    assert_isapprox(np.asarray(F.ldiv(b)), spla.spsolve(A2, b),
+                    rtol=TOL, atol=TOL)
+    # and back to a pattern-PRESERVING refactor on the new pattern
+    A3 = A2.copy()
+    A3.data = A3.data * (1 + 0.05 * rng.standard_normal(A3.data.shape))
+    F.refactor(A3)
+    assert_isapprox(np.asarray(F.ldiv(b)), spla.spsolve(A3, b),
+                    rtol=TOL, atol=TOL)
+
+
+def test_refactor_none_repacks(rng):
+    """``lu!(F, nothing)`` parity (reference src:246): refactor(None) is a
+    legal no-op re-pack and the factorization still solves."""
+    A = fe_block_matrix(rng, 8, 5)
+    n = A.shape[0]
+    F = ParallelSparseLU(A, chunk_size=8)
+    b = rng.random(n)
+    x0 = np.asarray(F.ldiv(b))
+    F.refactor(None)
+    x1 = np.asarray(F.ldiv(b))
+    np.testing.assert_allclose(x1, x0, rtol=1e-14, atol=1e-14)
+    assert_isapprox(x1, spla.spsolve(A, b), rtol=TOL, atol=TOL)
+
+
+@pytest.mark.parametrize("n", list(range(1, 33)) + [47, 63, 65, 97, 128, 160, 200])
+def test_dense_n_sweep(rng, n):
+    """Denser sweep toward the reference's 1:200 (runtests.jl:29): every
+    n in 1..32 hits all chunk-boundary alignments at cs=8, plus spot
+    checks to n=200. Solve-only (the full lifecycle runs in test_dense)."""
+    A = dense_random(rng, n)
+    F = ParallelSparseLU(A, chunk_size=8)
+    b = rng.random(n)
+    assert_isapprox(np.asarray(F.ldiv(b)), spla.spsolve(A, b),
+                    rtol=DENSE_TOL, atol=DENSE_TOL)
+
+
+@pytest.mark.parametrize("family", ["laplace1d", "banded", "spsm", "poisson", "block"])
+def test_fp32_refine_accuracy_matrix(rng, family):
+    """fp32 + tri_mode='inv' + one refinement sweep on all five BASELINE
+    bench families: normwise backward error must reach fp32 machine-level
+    (the accuracy story behind the TPU bench numbers; VERDICT r1 #6)."""
+    from tpu_sparse_lu.models import (
+        block_banded, laplacian_1d, poisson_2d, random_sparse)
+
+    A = {
+        "laplace1d": lambda: laplacian_1d(400),
+        "banded": lambda: block_banded(rng, 16, 8),
+        "spsm": lambda: random_sparse(rng, 256, density=0.02),
+        "poisson": lambda: poisson_2d(14, 14),
+        "block": lambda: block_banded(rng, 12, 10),
+    }[family]()
+    n = A.shape[0]
+    F = ParallelSparseLU(
+        A, config=SolverConfig(chunk_size=16, tri_mode="inv",
+                               dtype="float32"),
+    )
+    B = rng.random((n, 4)).astype(np.float32)
+    X = np.asarray(F.ldiv(B, refine_steps=1), dtype=np.float64)
+    An = spla.norm(A)
+    for j in range(4):
+        r = np.linalg.norm(A @ X[:, j] - B[:, j]) / (
+            An * np.linalg.norm(X[:, j]) + np.linalg.norm(B[:, j]))
+        assert r < 5e-6, f"{family}: backward error {r}"

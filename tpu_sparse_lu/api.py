@@ -560,7 +560,8 @@ class ParallelSparseLU:
         }
         self._prepare_device()
 
-    def refactor_numeric(self, A: sp.spmatrix) -> None:
+    def refactor_numeric(self, A: sp.spmatrix, *, check: bool = False,
+                         growth_limit: float = 1e7) -> bool:
         """Device-side same-pattern numeric refactorization (static pivots).
 
         The TPU-native counterpart of UMFPACK's numeric-only ``lu!``
@@ -568,10 +569,22 @@ class ParallelSparseLU:
         pattern, tile plan) and recomputes only numeric values on device.
         Requires ``A`` to have the same sparsity pattern as the matrix this
         factorization was built from.
+
+        Unlike UMFPACK, no numerical re-pivoting happens (the point of the
+        static-pivot design); ``self.refactor_diagnostics`` afterwards
+        holds device scalars ``min_pivot`` and ``growth`` (max |factor
+        entry| of the equilibrated system — ~1 for benign updates). With
+        ``check=True`` the diagnostics are synced and a value change that
+        broke the frozen pivots (non-finite / growth > ``growth_limit`` /
+        zero pivot) triggers an automatic fall back to the host
+        ``refactor`` path, which re-pivots. Returns True when the device
+        factorization was kept.
         """
         from .refactor import refactor_same_pattern
 
-        refactor_same_pattern(self, sp.csc_matrix(A))
+        return refactor_same_pattern(
+            self, sp.csc_matrix(A), check=check, growth_limit=growth_limit
+        )
 
     def make_refactor_solve_step(self, *, refine_steps: int = 0):
         """Fully-fused production step: ``step(a_data, b) -> x`` where

@@ -305,7 +305,8 @@ def _blocked_elimination(tiles, diag_id, row_ids, col_ids, schur, *, cs: int):
 
     use_pallas_lu = supports_lu_tile(cs)
 
-    def step(tiles, xs):
+    def step(carry, xs):
+        tiles, min_piv = carry
         dk, rids, cids, sch = xs
         # 1) diagonal tile: dense no-pivot LU (Pallas on TPU — the XLA
         #    rank-1 loop costs ~25us/column; in VMEM it is sub-us)
@@ -313,6 +314,9 @@ def _blocked_elimination(tiles, diag_id, row_ids, col_ids, schur, *, cs: int):
             D = lu_tile(tiles[dk])
         else:
             D = _lu_nopivot(tiles[dk])
+        # static-pivot diagnostic: the smallest |pivot| seen anywhere
+        # (UMFPACK would re-pivot here, reference src:247; we detect)
+        min_piv = jnp.minimum(min_piv, jnp.min(jnp.abs(jnp.diagonal(D))))
         tiles = tiles.at[dk].set(D)
         # 2/3) panels via explicit triangular inverses (batched matmuls;
         #      triangular_solve substitutes sequentially on TPU)
@@ -343,11 +347,14 @@ def _blocked_elimination(tiles, diag_id, row_ids, col_ids, schur, *, cs: int):
             preferred_element_type=tiles.dtype,
         )
         tiles = tiles.at[dst].add(-prod)
-        return tiles, None
+        return (tiles, min_piv), None
 
+    min_piv0 = jnp.asarray(jnp.inf, tiles.dtype)
     with jax.default_matmul_precision("highest"):
-        tiles, _ = lax.scan(step, tiles, (diag_id, row_ids, col_ids, schur))
-    return tiles
+        (tiles, min_piv), _ = lax.scan(
+            step, (tiles, min_piv0), (diag_id, row_ids, col_ids, schur)
+        )
+    return tiles, min_piv
 
 
 @functools.partial(jax.jit, static_argnames=("n", "cs", "TF"))
@@ -398,15 +405,21 @@ def _refactor_pipeline(a_data, dev, *, n, cs, TF, tri_mode):
         a_data, dev["a_dest"], dev["a_rows"], dev["pad_idx"],
         n=n, cs=cs, TF=TF,
     )
-    tiles = _blocked_elimination(
+    tiles, min_piv = _blocked_elimination(
         tiles, dev["diag_id"], dev["row_ids"], dev["col_ids"], dev["schur"],
         cs=cs,
     )
     ldiag, udiag, loff, uoff = _extract_solve_tiles(
         tiles, dev["diag_src"], dev["l_off_src"], dev["u_off_src"], cs=cs
     )
+    # pivot growth: rows of (Rs·A)[p,q] have max |entry| == 1 after the
+    # in-program equilibration, so max |factor entry| IS the growth factor
+    growth = jnp.maximum(
+        jnp.max(jnp.abs(udiag)),
+        jnp.maximum(jnp.max(jnp.abs(loff)), jnp.max(jnp.abs(uoff))),
+    )
     out = {"ldiag": ldiag, "udiag": udiag, "loff": loff, "uoff": uoff,
-           "rs": rs}
+           "rs": rs, "min_pivot": min_piv, "growth": growth}
     if tri_mode in ("inv", "inv_refine"):
         with jax.default_matmul_precision("highest"):
             out["ldiag_inv"] = tri_inverse(ldiag, lower=True)
@@ -443,6 +456,10 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
                    out.get("ldiag_inv"))
     F.udata = kern(F.plan.uplan, out["udiag"], out["uoff"],
                    out.get("udiag_inv"))
+    # device scalars; synced only when the caller asks (check=True)
+    F.refactor_diagnostics = {
+        "min_pivot": out["min_pivot"], "growth": out["growth"]
+    }
     if F._ldiv_ops is not None:
         # refresh the fused-ldiv tile stream (perm segments are
         # value-independent; only the L/U slices change)
@@ -477,8 +494,16 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
         F._spmv_dirty = True
 
 
-def refactor_same_pattern(F, A: sp.csc_matrix) -> None:
-    """Entry point used by :meth:`ParallelSparseLU.refactor_numeric`."""
+def refactor_same_pattern(F, A: sp.csc_matrix, *, check: bool = False,
+                          growth_limit: float = 1e7) -> bool:
+    """Entry point used by :meth:`ParallelSparseLU.refactor_numeric`.
+
+    With ``check=True``, syncs the static-pivot diagnostics (min |pivot|,
+    pivot growth) after the device refactorization; if the new values broke
+    the frozen pivot order (non-finite factors or growth beyond
+    ``growth_limit``), falls back to a full host refactorization (which
+    re-pivots, like the reference's UMFPACK ``lu!``, src:247). Returns
+    True when the device factorization was kept."""
     A = sp.csc_matrix(A)
     A.sort_indices()
     if not F.has_device_refactor:
@@ -495,3 +520,11 @@ def refactor_same_pattern(F, A: sp.csc_matrix) -> None:
     if F._ext is not None:
         F._a_data_dev = jnp.asarray(A.data, dtype=F.dtype)
         F._spmv_dirty = True
+    if check:
+        d = F.refactor_diagnostics
+        growth = float(d["growth"])
+        min_piv = float(d["min_pivot"])
+        if not np.isfinite(growth) or growth > growth_limit or min_piv == 0.0:
+            F.refactor(A)  # host path: re-pivots
+            return False
+    return True
