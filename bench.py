@@ -33,10 +33,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _chain_time(exe_args_fn, b, reps=5):
+def _chain_time(exe_args_fn, b, reps=5, name="solve"):
     """Median seconds per solve, N_CHAIN solves chained inside one jit."""
     import jax
     from jax import lax
+
+    from tpu_sparse_lu.utils.profiling import Timer
 
     f, args = exe_args_fn
 
@@ -45,12 +47,11 @@ def _chain_time(exe_args_fn, b, reps=5):
         return lax.fori_loop(0, N_CHAIN, lambda i, v: f(v, *args), b)
 
     np.asarray(chain(b, *args))  # compile + warmup
-    ts = []
+    timer = Timer()
     for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(chain(b, *args))
-        ts.append((time.perf_counter() - t0) / N_CHAIN)
-    return float(np.median(ts))
+        with timer.time(name):
+            np.asarray(chain(b, *args))
+    return timer.median(name) / N_CHAIN
 
 
 def _ldiv_fn(F):
@@ -76,6 +77,50 @@ def _make_F(A, cs, **kw):
 
     cfg = SolverConfig(chunk_size=cs, tri_mode="inv", dtype="float32", **kw)
     return ParallelSparseLU(A, config=cfg)
+
+
+def _phase_breakdown(F, b, t_full):
+    """Per-phase timing (perm / lsolve / rsolve) via the standalone
+    engines, plus a tile-level MFU estimate for the full solve.
+
+    The phases are timed as separate programs, so their sum exceeds the
+    fused ldiv when fusion is winning — that gap IS the fusion benefit.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_sparse_lu.ops.permute import apply_perm
+    from tpu_sparse_lu.solve import block_rhs, unblock_rhs
+
+    plan = F.plan
+    cs, K_in, n_in = plan.cs, F._K_in, F._n_orig
+    bf = jnp.zeros((plan.n, b.shape[1]), b.dtype)  # factor-space RHS
+
+    def perm_only(pperm, qperm, rs_blk, v):
+        xw = apply_perm(pperm, block_rhs(v, n_in, K_in, cs) * rs_blk)
+        return unblock_rhs(apply_perm(qperm, xw), n_in)
+
+    exe_p = jax.jit(perm_only)
+    exe_l, exe_u = F._exe("lsolve"), F._exe("rsolve")
+    phases = {
+        "perm": _chain_time(
+            ((lambda v, pp, qp, rs: exe_p(pp, qp, rs, v)),
+             (F._pperm, F._qperm, F._rs_blk)), b, name="perm"),
+        "lsolve": _chain_time(
+            ((lambda v, ld: exe_l(ld, v)), (F.ldata,)), bf, name="lsolve"),
+        "rsolve": _chain_time(
+            ((lambda v, ud: exe_u(ud, v)), (F.udata,)), bf, name="rsolve"),
+    }
+    # MFU: every scheduled tile op is a cs x cs x R matmul
+    R = b.shape[1]
+    n_tiles = (plan.lplan.K + plan.lplan.T + plan.uplan.K + plan.uplan.T)
+    if F._ldiv_ops is not None:
+        n_tiles = int(F._ldiv_ops.n_ops)
+    tile_flops = 2.0 * n_tiles * cs * cs * R
+    PEAK_F32 = 49e12  # v5e ~197 TFLOP/s bf16 -> ~49 full-f32
+    phases["mfu_est"] = tile_flops / t_full / PEAK_F32
+    phases["tile_ops"] = n_tiles
+    return phases
 
 
 def _check_residual(F, A, b, tol=1e-3):
@@ -179,24 +224,40 @@ def bench_config(cfg_id: int) -> dict:
     if cfg_id == 4:
         # 2D Poisson 5-point, level-scheduled solve (HEADLINE).
         # Chunk-aligned nested dissection turns the chunk DAG from a
-        # 69-level chain (COLAMD) into 9 wide levels; with ragged unrolled
-        # levels the measured ldiv is 1.65ms vs 3.1ms (v5e, 16 RHS).
+        # 69-level chain (COLAMD) into ~9 wide levels; the fused op-stream
+        # Pallas kernel runs the whole perm→L→U→perm as one program.
+        from tpu_sparse_lu.ops.pallas_ldiv import supports_fused_ldiv
+        from tpu_sparse_lu.utils.profiling import nnz_per_second
+
         A = poisson_2d(100, 100)
         R = 16
         F = _make_F(A, 128, ordering="nd", schedule="unrolled")
+        fused = F._ldiv_ops is not None and supports_fused_ldiv(
+            F._ldiv_ops, R)
         log(f"config4: n={A.shape[0]} nnzLU={F.L.nnz + F.U.nnz} "
             f"levels={F.plan.lplan.num_levels}/{F.plan.uplan.num_levels} "
-            f"pallas={F._pallas_eligible()}")
+            f"fused_pallas={fused}")
         b = jnp.asarray(rng.random((A.shape[0], R)), dtype=jnp.float32)
         resid = _check_residual(F, A, b)
         t = _chain_time(_ldiv_fn(F), b)
         nnz = F.L.nnz + F.U.nnz
         t_base = _scipy_panel_time(A, R)
+        out = dict(config="poisson100_ldiv_throughput", n=A.shape[0], R=R,
+                   nnz_lu=nnz, t_ours=t, t_scipy=t_base, resid=resid,
+                   fused_pallas=fused,
+                   nnz_per_s=nnz_per_second(nnz, t, R),
+                   vs_baseline=t_base / t)
+        # kernel-vs-scan A/B + per-phase breakdown + MFU (VERDICT r1 #1/#9)
+        out["phases"] = _phase_breakdown(F, b, t)
+        if fused:
+            F_scan = _make_F(A, 128, ordering="nd", schedule="unrolled",
+                             use_pallas="never")
+            out["t_xla_scan"] = _chain_time(_ldiv_fn(F_scan), b)
+            log(f"config4 A/B: fused {t*1e3:.3f} ms vs XLA scan "
+                f"{out['t_xla_scan']*1e3:.3f} ms")
         log(f"config4: ours {t*1e3:.3f} ms, scipy {t_base*1e3:.3f} ms, "
             f"resid {resid:.2e}")
-        return dict(config="poisson100_ldiv_throughput", n=A.shape[0], R=R,
-                    nnz_lu=nnz, t_ours=t, t_scipy=t_base, resid=resid,
-                    nnz_per_s=nnz * R / t, vs_baseline=t_base / t)
+        return out
 
     if cfg_id == 5:
         # block-banded matrix, row-partitioned across N>=2 devices

@@ -219,13 +219,21 @@ def sharded_ldiv(
     return unblock_rhs(xw, n_in)
 
 
-def make_sharded_ldiv(F, mesh: Mesh, axis: str = "chunks"):
+def make_sharded_ldiv(F, mesh: Mesh, axis: str = "chunks",
+                      *, multihost: bool = False):
     """Build a jitted mesh-parallel ``ldiv`` from a ``ParallelSparseLU``.
 
     Returns ``solve(b)`` accepting ``(n,)`` or ``(n, R)``; the solve runs
     level-striped over the mesh devices. Composes with every ordering,
     including the "nd" embedding. Reuses F's packed tiles; call again
     after a refactorization.
+
+    With ``multihost=True`` the mesh may span processes (built by
+    :func:`~.mesh.make_global_mesh` after
+    :func:`~.mesh.initialize_multihost`): the factor tiles are replicated
+    as GLOBAL arrays once up front and each call replicates the
+    process-local RHS — the per-level psum then rides ICI within a host
+    and DCN across hosts.
     """
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     lsp = build_sharded_tri_plan(F.plan.lplan, D)
@@ -245,12 +253,22 @@ def make_sharded_ldiv(F, mesh: Mesh, axis: str = "chunks"):
                 n_in=n_in, K_in=K_in, tri_mode=tri_mode,
             )
 
+    args = (F.ldata, F.udata, F._pperm, F._qperm, F._rs_blk)
+    if multihost:
+        from .mesh import replicate_to_mesh
+
+        args = replicate_to_mesh(args, mesh)
+
     def solve(b):
         b = jnp.asarray(b, dtype=F.dtype)
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]
-        x = run(F.ldata, F.udata, F._pperm, F._qperm, F._rs_blk, b)
+        if multihost:
+            from .mesh import replicate_to_mesh
+
+            b = replicate_to_mesh(b, mesh)
+        x = run(*args, b)
         return x[:, 0] if squeeze else x
 
     return solve
