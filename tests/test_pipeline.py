@@ -66,3 +66,39 @@ def test_pipeline_rejects_wide_patterns(rng):
     assert (build_pipeline_plan(F.plan.lplan, 8) is None
             or build_pipeline_plan(F.plan.uplan, 8) is None
             or make_pipeline_ldiv(F, make_mesh(8)) is not None)
+
+
+def test_overlapped_pair_matches_sequential(rng):
+    """pipeline_ldiv_pair (overlapped L/U waves) == running the two
+    pipelined solves back to back == the single-device engine."""
+    import jax.numpy as jnp
+
+    from tpu_sparse_lu import ParallelSparseLU
+    from tpu_sparse_lu.models import block_banded
+    from tpu_sparse_lu.parallel.mesh import make_mesh
+    from tpu_sparse_lu.parallel.pipeline_solve import (
+        build_pipeline_plan,
+        pipeline_ldiv_pair,
+        pipeline_tri_solve,
+    )
+    from tpu_sparse_lu.solve import block_rhs
+
+    A = block_banded(rng, 24, 8)
+    n = A.shape[0]
+    F = ParallelSparseLU(A, chunk_size=8)
+    mesh = make_mesh(4)
+    lp = build_pipeline_plan(F.plan.lplan, 4)
+    up = build_pipeline_plan(F.plan.uplan, 4)
+    assert lp is not None and up is not None
+    b = rng.random((n, 8))
+    xw = block_rhs(jnp.asarray(b), n, F.plan.lplan.K, F.plan.cs)
+
+    seq = pipeline_tri_solve(mesh, "chunks", F.plan.lplan, lp, F.ldata, xw,
+                             micro_panels=4, tri_mode="trsm")
+    seq = pipeline_tri_solve(mesh, "chunks", F.plan.uplan, up, F.udata, seq,
+                             micro_panels=4, tri_mode="trsm")
+    fused = pipeline_ldiv_pair(mesh, "chunks", F.plan.lplan, lp, F.ldata,
+                               F.plan.uplan, up, F.udata, xw,
+                               micro_panels=4, tri_mode="trsm")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(seq),
+                               rtol=1e-12, atol=1e-12)
