@@ -13,7 +13,6 @@ import pytest
 from tpu_sparse_lu import ParallelSparseLU, SolverConfig
 from tpu_sparse_lu.models import fe_block_matrix, laplacian_1d, poisson_2d
 from tpu_sparse_lu.ops.pallas_ldiv import (
-    OP_NOP,
     PAGE,
     SRC_LDINV,
     SRC_LOFF,
@@ -100,29 +99,33 @@ def test_op_stream_structure(rng):
     """Every tile op appears exactly once, in dependency order."""
     A = poisson_2d(12, 12)
     F = ParallelSparseLU(A, chunk_size=8, config=None)
-    from tpu_sparse_lu.ops.pallas_ldiv import OP_ADD_B2B, OP_SET_B
 
     ops = build_ldiv_ops(
         F._pperm, F.plan.lplan, F.plan.uplan, F._qperm, KA=F._K_in
     )
     lplan, uplan = F.plan.lplan, F.plan.uplan
-    # coverage: each factor's diag ops == K, off-diag ops == T
-    n_set = int(np.sum(ops.code == OP_SET_B))
-    n_add = int(np.sum(ops.code == OP_ADD_B2B))
-    assert n_set == lplan.K + uplan.K
-    assert n_add == lplan.T + uplan.T
-    # padding is NOP only
-    assert np.all(ops.code[ops.n_ops:] == OP_NOP)
-    assert ops.code.shape[0] % PAGE == 0
+    # coverage: each factor's diag ops == K (SET), off-diag ops == T (ADD)
+    is_diag = np.isin(ops.tile_base, (SRC_LDINV, SRC_UDINV))
+    is_off = np.isin(ops.tile_base, (SRC_LOFF, SRC_UOFF))
+    assert int(np.sum(is_diag)) == lplan.K + uplan.K
+    assert int(np.sum(is_off)) == lplan.T + uplan.T
+    # diag solves are the ONLY set-ops, and solve in place (src == dst)
+    np.testing.assert_array_equal(ops.acc == 0, is_diag)
+    assert np.all(ops.src[is_diag] == ops.dst[is_diag])
+    # padding points at the dummy panel block with a zero tile
+    dummy = ops.panel_blocks - 1
+    assert np.all(ops.tile_base[ops.n_ops:] == -1)
+    assert np.all(ops.src[ops.n_ops:] == dummy)
+    assert np.all(ops.dst[ops.n_ops:] == dummy)
+    assert ops.src.shape[0] % PAGE == 0
     # dependency order within L: a chunk's diag solve precedes every op
     # consuming it as source, and follows every op targeting it
     seen_solved = set()
-    phase = 0
     for i in range(ops.n_ops):
-        c, s, d = int(ops.code[i]), int(ops.src[i]), int(ops.dst[i])
-        if c == OP_SET_B and ops.tile_base[i] == SRC_LDINV:
+        s, d = int(ops.src[i]), int(ops.dst[i])
+        if ops.tile_base[i] == SRC_LDINV:
             seen_solved.add(d)
-        if c == OP_ADD_B2B and ops.tile_base[i] == SRC_LOFF:
+        if ops.tile_base[i] == SRC_LOFF:
             assert s in seen_solved  # source chunk already solved
             assert d not in seen_solved  # destination not yet solved
 

@@ -14,25 +14,29 @@ Every unit of work — a diagonal-tile solve ``x_k = Tinv_k x_k`` (the
 reference's ``trsv!``, src:359/:384), an off-diagonal update
 ``x_d += T x_s`` (the reference's ``gemm!``, src:362-363, tiles
 pre-negated), and a block-one-hot permutation tile apply (ops/permute.py)
-— is one ``(tile, src, dst, code)`` quadruple: a ``cs × cs`` tile matmul
-from a source block to a destination block of a VMEM-resident solution
-panel. The host emits the stream in dependency order (levels flattened —
-a single core executes sequentially anyway, so level *batching* buys
-nothing in-kernel; level *order* is all that matters), and the kernel is a
-tiny machine that executes ops one page at a time:
+— is one ``(tile, src, dst, acc)`` quadruple over a single VMEM-resident
+solution panel ``X``:
 
-* two solution panels live in VMEM: ``A`` (input/output space, the
-  chunk-blocked RHS) and ``B`` (factor space, where L/U run). Panels are
-  stored TRANSPOSED, ``(K+1, R, cs)``: the lane dimension is ``cs`` (128),
-  so a single-RHS solve (R=1, the reference's primary calling pattern)
-  packs VMEM perfectly instead of wasting 127/128 lanes;
-* tiles stream from HBM in fixed-size pages of ``PAGE`` tiles,
-  double-buffered — page ``p+1`` DMAs in while page ``p`` computes (the
-  ring-buffer that lets arbitrarily wide plans run in bounded VMEM);
-* op codes select panel routing: A→B (input permutation), B in place
-  (both triangular solves), B→A (output permutation), plus one panel-zero
-  marker between the phases. Tiles are stored transposed so every op is
-  ``x[src] @ tileᵀ`` — ``(R,cs) @ (cs,cs)`` on the MXU.
+    X[dst] = X[src] @ tileᵀ + acc * X[dst]        (acc ∈ {0, 1})
+
+``X`` is laid out ``(P, Rp, cs)`` with the blocks of all THREE spaces
+concatenated — input blocks (the chunk-blocked scaled RHS), factor blocks
+(where L/U run), output blocks (the un-permuted solution) and one dummy
+block absorbing page padding — so ops need no routing: ``src``/``dst``
+index one panel and the kernel body is completely BRANCHLESS (one dynamic
+read, one MXU matmul, one fused multiply-add, one dynamic write; measured
+~4x faster per op than the earlier 5-way ``pl.when`` dispatch). Panels
+are stored TRANSPOSED — the lane dimension is ``cs`` (128) — so a
+single-RHS solve (R=1, the reference's primary calling pattern) packs
+VMEM sublanes instead of wasting 127/128 lanes.
+
+The host emits the stream in dependency order (levels flattened — a
+single core executes sequentially anyway, so level *batching* buys
+nothing in-kernel; level *order* is all that matters): diagonal solves
+are SET ops (``acc=0``, ``src == dst``), everything else accumulates into
+a pre-zeroed panel. Tiles stream from HBM in fixed-size pages of ``PAGE``
+tiles, double-buffered — page ``p+1`` DMAs in while page ``p`` computes
+(the ring buffer that lets arbitrarily wide plans run in bounded VMEM).
 
 Because the permutation tiles are 0/1 and value-independent, a device
 refactorization only has to refresh the L/U slices of the stream
@@ -61,14 +65,6 @@ __all__ = [
     "pallas_fused_ldiv",
 ]
 
-# op codes
-OP_ADD_A2B = 0  # x_B[dst] += x_A[src] @ T   (input permutation)
-OP_SET_B = 1    # x_B[dst]  = x_B[src] @ T   (diagonal solve; src == dst)
-OP_ADD_B2B = 2  # x_B[dst] += x_B[src] @ T   (off-diagonal update)
-OP_ADD_B2A = 3  # x_A[dst] += x_B[src] @ T   (output permutation)
-OP_ZERO_A = 4   # x_A[:] = 0                 (phase boundary)
-OP_NOP = 5      # padding to a full page
-
 PAGE = 16  # tiles per DMA page (PAGE * cs * cs * 4 bytes per buffer)
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom out of ~16MB
@@ -82,25 +78,38 @@ SRC_PERMP, SRC_LDINV, SRC_LOFF, SRC_UDINV, SRC_UOFF, SRC_PERMQ = range(6)
 class LdivOps:
     """Host-side fused-ldiv schedule.
 
-    ``code/src/dst`` drive the kernel (scalar-prefetched); ``tile_base`` /
-    ``tile_idx`` say which component buffer each op's tile comes from, so
-    the device stream can be (re)built with one concat + gather — both at
-    pack time and inside the jitted refactorization pipeline.
+    ``src/dst/acc`` drive the kernel (scalar-prefetched; indices into the
+    unified ``(P, Rp, cs)`` panel); ``tile_base`` / ``tile_idx`` say which
+    component buffer each op's tile comes from, so the device stream can
+    be (re)built with one concat + gather — both at pack time and inside
+    the jitted refactorization pipeline.
+
+    Panel layout: blocks ``[0, KA]`` input space, ``[KA+1, KA+KB+1]``
+    factor space, ``[KA+KB+2, 2*KA+KB+2]`` output space, ``[P-1]`` dummy.
     """
 
-    KA: int   # input-space chunks (panel A has KA+1 blocks)
-    KB: int   # factor-space chunks (panel B has KB+1 blocks)
+    KA: int   # input-space chunks (KA+1 blocks incl. the padding dummy)
+    KB: int   # factor-space chunks
     cs: int
     n_ops: int  # real ops (before page padding)
-    code: np.ndarray       # (Npad,) int32
-    src: np.ndarray        # (Npad,) int32
-    dst: np.ndarray        # (Npad,) int32
+    src: np.ndarray        # (Npad,) int32 panel block index
+    dst: np.ndarray        # (Npad,) int32 panel block index
+    acc: np.ndarray        # (Npad,) int32: 1 = accumulate, 0 = set
     tile_base: np.ndarray  # (Npad,) int32 component id, -1 = zero tile
     tile_idx: np.ndarray   # (Npad,) int32 index within the component
 
     @property
     def n_pages(self) -> int:
-        return self.code.shape[0] // PAGE
+        return self.src.shape[0] // PAGE
+
+    @property
+    def panel_blocks(self) -> int:
+        """P: unified panel block count (input + factor + output + dummy)."""
+        return 2 * (self.KA + 1) + (self.KB + 1) + 1
+
+    @property
+    def out_base(self) -> int:
+        return self.KA + self.KB + 2
 
 
 def _perm_pairs(pplan) -> list:
@@ -115,27 +124,27 @@ def _perm_pairs(pplan) -> list:
     return out
 
 
-def _tri_ops(plan: TriPlan, dinv_base: int, off_base: int):
+def _tri_ops(plan: TriPlan, fac0: int, dinv_base: int, off_base: int):
     """Flatten one factor's level schedule into dependency-ordered ops."""
-    code, src, dst, base, idx = [], [], [], [], []
+    src, dst, acc, base, idx = [], [], [], [], []
     for l in range(plan.num_levels):
         nc = int(plan.level_chunk_counts[l])
         for a in range(nc):
             k = int(plan.level_chunks[l, a])
-            code.append(OP_SET_B)
-            src.append(k)
-            dst.append(k)
+            src.append(fac0 + k)
+            dst.append(fac0 + k)
+            acc.append(0)           # diagonal solve: x_k = Tinv_k x_k
             base.append(dinv_base)
             idx.append(k)
         nt = int(plan.level_tile_counts[l])
         for a in range(nt):
             t = int(plan.level_tiles[l, a])
-            code.append(OP_ADD_B2B)
-            src.append(int(plan.tile_bcol[t]))
-            dst.append(int(plan.tile_brow[t]))
+            src.append(fac0 + int(plan.tile_bcol[t]))
+            dst.append(fac0 + int(plan.tile_brow[t]))
+            acc.append(1)           # off-diagonal update (tiles pre-negated)
             base.append(off_base)
             idx.append(t)
-    return code, src, dst, base, idx
+    return src, dst, acc, base, idx
 
 
 def build_ldiv_ops(
@@ -153,48 +162,46 @@ def build_ldiv_ops(
         return None
     cs = lplan.cs
     KB = lplan.K
-    code, src, dst, base, idx = [], [], [], [], []
-    # phase 1: wrk = P(Rs ⊙ b) — scale happens in XLA before the kernel
+    fac0 = KA + 1          # factor-space block offset
+    out0 = KA + KB + 2     # output-space block offset
+    dummy = 2 * (KA + 1) + (KB + 1)  # last block
+    src, dst, acc, base, idx = [], [], [], [], []
+    # phase 1: wrk = P(Rs ⊙ b) — scale happens in XLA before the kernel;
+    # the factor-space panel is pre-zeroed, so every perm tile accumulates
     for (d, s, t) in _perm_pairs(pperm):
-        code.append(OP_ADD_A2B)
         src.append(s)
-        dst.append(d)
+        dst.append(fac0 + d)
+        acc.append(1)
         base.append(SRC_PERMP)
         idx.append(t)
-    # panel A's job as input is done; it becomes the output accumulator
-    code.append(OP_ZERO_A)
-    src.append(0)
-    dst.append(0)
-    base.append(-1)
-    idx.append(0)
     # phase 2/3: the triangular solves (reference src:330, :333)
     for plan, db, ob in ((lplan, SRC_LDINV, SRC_LOFF),
                          (uplan, SRC_UDINV, SRC_UOFF)):
-        c, s, d, b_, i = _tri_ops(plan, db, ob)
-        code += c
-        src += s
-        dst += d
+        s_, d_, a_, b_, i_ = _tri_ops(plan, fac0, db, ob)
+        src += s_
+        dst += d_
+        acc += a_
         base += b_
-        idx += i
-    # phase 4: x[q] = wrk (reference src:337-339)
+        idx += i_
+    # phase 4: x[q] = wrk (reference src:337-339), into the output blocks
     for (d, s, t) in _perm_pairs(qperm):
-        code.append(OP_ADD_B2A)
-        src.append(s)
-        dst.append(d)
+        src.append(fac0 + s)
+        dst.append(out0 + d)
+        acc.append(1)
         base.append(SRC_PERMQ)
         idx.append(t)
-    n_ops = len(code)
+    n_ops = len(src)
     pad = (-n_ops) % PAGE
-    code += [OP_NOP] * pad
-    src += [0] * pad
-    dst += [0] * pad
+    src += [dummy] * pad
+    dst += [dummy] * pad
+    acc += [1] * pad
     base += [-1] * pad
     idx += [0] * pad
     return LdivOps(
         KA=KA, KB=KB, cs=cs, n_ops=n_ops,
-        code=np.asarray(code, dtype=np.int32),
         src=np.asarray(src, dtype=np.int32),
         dst=np.asarray(dst, dtype=np.int32),
+        acc=np.asarray(acc, dtype=np.int32),
         tile_base=np.asarray(base, dtype=np.int32),
         tile_idx=np.asarray(idx, dtype=np.int32),
     )
@@ -212,7 +219,7 @@ def stream_gather_spec(ops: LdivOps, sizes: dict) -> np.ndarray:
         offs[b] = acc
         acc += int(sizes.get(b, 0))
     zero_slot = acc
-    flat = np.full(ops.code.shape[0], zero_slot, dtype=np.int32)
+    flat = np.full(ops.src.shape[0], zero_slot, dtype=np.int32)
     real = ops.tile_base >= 0
     flat[real] = ops.tile_idx[real] + np.array(
         [offs[b] for b in ops.tile_base[real]], dtype=np.int32
@@ -242,7 +249,7 @@ def _rp(R: int) -> int:
 
 def supports_fused_ldiv(ops: Optional[LdivOps], R: int,
                         itemsize: int = 4) -> bool:
-    """Static feasibility: lane alignment, VMEM panels + pages, SMEM."""
+    """Static feasibility: lane alignment, VMEM panel + pages, SMEM."""
     if ops is None:
         return False
     cs = ops.cs
@@ -251,25 +258,27 @@ def supports_fused_ldiv(ops: Optional[LdivOps], R: int,
     if itemsize != 4:
         return False
     Rp = _rp(R)
-    panels = (ops.KA + 1 + ops.KB + 1) * Rp * cs * itemsize
+    panel = ops.panel_blocks * Rp * cs * itemsize
     pages = 2 * PAGE * cs * cs * itemsize
-    if panels + pages >= _VMEM_BUDGET:
+    if panel + pages >= _VMEM_BUDGET:
         return False
-    if ops.code.shape[0] * 3 * 4 >= _SMEM_BUDGET:
+    if ops.src.shape[0] * 3 * 4 >= _SMEM_BUDGET:
         return False
     return True
 
 
 def _kernel(
-    code_ref, src_ref, dst_ref,  # scalar prefetch (Npad,) each
+    src_ref, dst_ref, acc_ref,  # scalar prefetch (Npad,) each
     in_hbm,       # (KA+1, Rp, cs) HBM — scaled, blocked, transposed RHS
     stream_hbm,   # (Npad, cs, cs) HBM — transposed tile stream
-    out_hbm,      # (KA+1, Rp, cs) HBM — aliased with in
-    xa, xb,       # VMEM panels
+    out_hbm,      # (KA+1, Rp, cs) HBM
+    x,            # (P, Rp, cs) VMEM — unified input/factor/output panel
     pages,        # (2, PAGE, cs, cs) VMEM ring buffer
-    in_sem, page_sem,
+    io_sem, page_sem,
     *,
     NPAGES: int,
+    KA: int,
+    OUT0: int,
 ):
     pg = pl.program_id(0)
 
@@ -283,10 +292,12 @@ def _kernel(
     @pl.when(pg == 0)
     def _():
         page_dma(0, 0).start()
-        cp = pltpu.make_async_copy(in_hbm, xa, in_sem)
+        x[:] = jnp.zeros_like(x)
+        cp = pltpu.make_async_copy(
+            in_hbm, x.at[pl.ds(0, KA + 1)], io_sem
+        )
         cp.start()
         cp.wait()
-        xb[:] = jnp.zeros_like(xb)
 
     @pl.when(pg + 1 < NPAGES)
     def _():
@@ -296,44 +307,18 @@ def _kernel(
 
     for j in range(PAGE):
         i = pg * PAGE + j
-        c = code_ref[i]
         s = src_ref[i]
         d = dst_ref[i]
-
-        def tile():
-            return pages[pg % 2, j]
-
-        @pl.when(c == OP_ADD_A2B)
-        def _():
-            y = jnp.dot(xa[pl.ds(s, 1)][0], tile(),
-                        preferred_element_type=jnp.float32)
-            xb[pl.ds(d, 1)] = xb[pl.ds(d, 1)] + y[None].astype(xb.dtype)
-
-        @pl.when(c == OP_SET_B)
-        def _():
-            y = jnp.dot(xb[pl.ds(s, 1)][0], tile(),
-                        preferred_element_type=jnp.float32)
-            xb[pl.ds(d, 1)] = y[None].astype(xb.dtype)
-
-        @pl.when(c == OP_ADD_B2B)
-        def _():
-            y = jnp.dot(xb[pl.ds(s, 1)][0], tile(),
-                        preferred_element_type=jnp.float32)
-            xb[pl.ds(d, 1)] = xb[pl.ds(d, 1)] + y[None].astype(xb.dtype)
-
-        @pl.when(c == OP_ADD_B2A)
-        def _():
-            y = jnp.dot(xb[pl.ds(s, 1)][0], tile(),
-                        preferred_element_type=jnp.float32)
-            xa[pl.ds(d, 1)] = xa[pl.ds(d, 1)] + y[None].astype(xa.dtype)
-
-        @pl.when(c == OP_ZERO_A)
-        def _():
-            xa[:] = jnp.zeros_like(xa)
+        a = acc_ref[i]
+        y = jnp.dot(x[s], pages[pg % 2, j],
+                    preferred_element_type=jnp.float32)
+        x[d] = y.astype(x.dtype) + a.astype(x.dtype) * x[d]
 
     @pl.when(pg == NPAGES - 1)
     def _():
-        cp = pltpu.make_async_copy(xa, out_hbm, in_sem)
+        cp = pltpu.make_async_copy(
+            x.at[pl.ds(OUT0, KA + 1)], out_hbm, io_sem
+        )
         cp.start()
         cp.wait()
 
@@ -346,7 +331,7 @@ def pallas_fused_ldiv(
     interpret: bool = False,
 ) -> jax.Array:
     """Run the fused solve; returns the solved ``(KA+1, cs, R)`` carrier."""
-    KA, KB, cs = ops.KA, ops.KB, ops.cs
+    KA, cs = ops.KA, ops.cs
     R = xw.shape[-1]
     Rp = _rp(R)
     dtype = xw.dtype
@@ -364,14 +349,15 @@ def pallas_fused_ldiv(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((KA + 1, Rp, cs), dtype),
-            pltpu.VMEM((KB + 1, Rp, cs), dtype),
+            pltpu.VMEM((ops.panel_blocks, Rp, cs), dtype),
             pltpu.VMEM((2, PAGE, cs, cs), dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, NPAGES=NPAGES)
+    kernel = functools.partial(
+        _kernel, NPAGES=NPAGES, KA=KA, OUT0=ops.out_base
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -380,9 +366,9 @@ def pallas_fused_ldiv(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        jnp.asarray(ops.code),
         jnp.asarray(ops.src),
         jnp.asarray(ops.dst),
+        jnp.asarray(ops.acc),
         xt,
         stream,
     )

@@ -122,22 +122,33 @@ def staged_extension(A: sp.spmatrix, cs: int, cutoff: int = None):
         by_stage[d].append(g)
     order_rows = []
     for d in sorted(by_stage.keys(), reverse=True):  # deepest first
+        # LOCALITY-AWARE shelf packing: groups walked in ascending
+        # min-original-row order and appended to the current bin until
+        # full. Compared to first-fit-decreasing this wastes a little
+        # more padding but keeps each bin's rows drawn from a handful of
+        # contiguous original-index runs — which is what makes the ldiv
+        # permutations block-SPARSE (measured on 2D Poisson: input-perm
+        # chunk pairs 2348 → ~600; the perm was 75% of the fused op
+        # stream). Rows within a bin are sorted by original index for the
+        # same reason (any within-bin order is symbolically valid: bin
+        # rows are mutually independent same-stage rows, and tile-level
+        # fill only sees the row SET).
         bins = []
-        for g in sorted(by_stage[d], key=len, reverse=True):
-            if not g:
-                continue
+        cur: list = []
+        for g in sorted((g for g in by_stage[d] if g), key=min):
             if len(g) >= cs:
                 # dedicated bins, padded to a chunk multiple
                 for i in range(0, len(g), cs):
                     bins.append(list(g[i:i + cs]))
                 continue
-            for b in bins:
-                if len(b) + len(g) <= cs:
-                    b.extend(g)
-                    break
-            else:
-                bins.append(list(g))
+            if len(cur) + len(g) > cs:
+                bins.append(cur)
+                cur = []
+            cur.extend(g)
+        if cur:
+            bins.append(cur)
         for b in bins:
+            b.sort()
             order_rows.extend(b)
             order_rows.extend([-1] * (cs - len(b)))  # identity padding
     ext_src = np.asarray(order_rows, dtype=np.int64)
