@@ -151,12 +151,14 @@ def bench_config(cfg_id: int) -> dict:
     rng = np.random.default_rng(0)
 
     if cfg_id == 1:
-        # 1D Laplacian tridiagonal, single RHS. nd collapses the chain to
-        # ~10 levels (1.55ms vs 3.9ms measured); note a CPU substitution
-        # over 80k nnz is ~0.3ms — the single-RHS latency game is the
-        # reference's home turf, the TPU wins on panels (config 3).
+        # 1D Laplacian tridiagonal, single RHS. Natural ordering keeps the
+        # factors bidiagonal, so the solver dispatches to the log-depth
+        # associative-scan substitution (ops/scan_solve.py) — a chain has
+        # no level width for the tile engines, but composes into O(log n)
+        # parallel depth as affine maps.
         A = laplacian_1d(20000)
-        F = _make_F(A, 128, ordering="nd", schedule="unrolled")
+        F = _make_F(A, 128, ordering="natural", pivot_threshold=0.0)
+        assert F._scan_bands is not None and F._scan_perm_id
         b = jnp.asarray(rng.random((A.shape[0], 1)), dtype=jnp.float32)
         resid = _check_residual(F, A, b)
         t = _chain_time(_ldiv_fn(F), b)

@@ -21,7 +21,8 @@ from tpu_sparse_lu.ops.pallas_ldiv import (
     SRC_UDINV,
     SRC_UOFF,
     build_ldiv_ops,
-    build_ldiv_stream,
+    build_lu_stream,
+    build_perm_stream,
     pallas_fused_ldiv,
     stream_gather_spec,
     supports_fused_ldiv,
@@ -45,20 +46,22 @@ def _build_ops(F):
         SRC_UOFF: F.plan.uplan.T + 1,
         SRC_PERMQ: permq.shape[0],
     }
-    gather = jnp.asarray(stream_gather_spec(ops, sizes))
-    stream = build_ldiv_stream(
-        gather, permp,
+    s_perm = build_perm_stream(
+        jnp.asarray(stream_gather_spec(ops, sizes, 0)), permp, permq
+    )
+    s_lu = build_lu_stream(
+        jnp.asarray(stream_gather_spec(ops, sizes, 1)),
         F.ldata.diag_inv, F.ldata.offdiag,
         F.udata.diag_inv, F.udata.offdiag,
-        permq, dtype=F.dtype,
+        dtype=F.dtype,
     )
-    return ops, stream
+    return ops, s_perm, s_lu
 
 
 def _fused_ldiv(F, b):
-    ops, stream = _build_ops(F)
+    ops, s_perm, s_lu = _build_ops(F)
     xw = block_rhs(b, F.n, F._K_in, F.plan.cs) * F._rs_blk
-    out = pallas_fused_ldiv(ops, stream, xw, interpret=True)
+    out = pallas_fused_ldiv(ops, s_perm, s_lu, xw, interpret=True)
     return unblock_rhs(out, F.n)
 
 
@@ -112,16 +115,25 @@ def test_op_stream_structure(rng):
     # diag solves are the ONLY set-ops, and solve in place (src == dst)
     np.testing.assert_array_equal(ops.acc == 0, is_diag)
     assert np.all(ops.src[is_diag] == ops.dst[is_diag])
-    # padding points at the dummy panel block with a zero tile
+    # padding (one run per page-aligned segment) points at the dummy
+    # panel block with a zero tile
     dummy = ops.panel_blocks - 1
-    assert np.all(ops.tile_base[ops.n_ops:] == -1)
-    assert np.all(ops.src[ops.n_ops:] == dummy)
-    assert np.all(ops.dst[ops.n_ops:] == dummy)
+    pad = ops.tile_base == -1
+    assert int(np.sum(~pad)) == ops.n_ops
+    assert np.all(ops.src[pad] == dummy)
+    assert np.all(ops.dst[pad] == dummy)
     assert ops.src.shape[0] % PAGE == 0
+    # pages are single-kind: perm components on int8 pages, L/U on f32
+    kind_of_slot = np.repeat(ops.page_kind, PAGE)
+    perm_slot = np.isin(ops.tile_base, (SRC_PERMP, SRC_PERMQ))
+    lu_slot = np.isin(ops.tile_base, (SRC_LDINV, SRC_LOFF,
+                                      SRC_UDINV, SRC_UOFF))
+    assert np.all(kind_of_slot[perm_slot] == 0)
+    assert np.all(kind_of_slot[lu_slot] == 1)
     # dependency order within L: a chunk's diag solve precedes every op
     # consuming it as source, and follows every op targeting it
     seen_solved = set()
-    for i in range(ops.n_ops):
+    for i in range(ops.src.shape[0]):
         s, d = int(ops.src[i]), int(ops.dst[i])
         if ops.tile_base[i] == SRC_LDINV:
             seen_solved.add(d)

@@ -268,19 +268,72 @@ class ParallelSparseLU:
         rs[:n_in] = rs_orig
         self._rs_blk = jnp.asarray(rs.reshape(self._K_in + 1, cs, 1))
         self._prepare_fused_ldiv()
+        self._prepare_scan_path()
+
+    def _prepare_scan_path(self) -> None:
+        """Detect bidiagonal factors (1-D chain matrices) and stage the
+        log-depth associative-scan substitution path (ops/scan_solve.py).
+        A chain's chunk DAG has no width for the tile engines to exploit;
+        the scan path solves it in O(log n) parallel depth instead."""
+        from .ops.scan_solve import bidiag_bands
+
+        self._scan_bands = None
+        self._scan_perm_id = False
+        lb = bidiag_bands(self._factors.L, lower=True)
+        if lb is None:
+            return
+        ub = bidiag_bands(self._factors.U, lower=False)
+        if ub is None:
+            return
+        dt = self.dtype
+        self._scan_bands = {
+            "ld": jnp.asarray(lb["diag"], dt),
+            "lo": jnp.asarray(lb["off"], dt),
+            "ud": jnp.asarray(ub["diag"], dt),
+            "uo": jnp.asarray(ub["off"], dt),
+        }
+        n = self.plan.n
+        # the fused scale→lsolve→rsolve scan ldiv additionally requires
+        # trivial pivot permutations (true for no-pivot/banded orderings)
+        self._scan_perm_id = (
+            self._ext is None
+            and np.array_equal(self.plan.p, np.arange(n))
+            and np.array_equal(self.plan.q, np.arange(n))
+        )
+        self._rs_vec = jnp.asarray(self.plan.Rs, dt)[:, None]
+        if not self._scan_perm_id:
+            return
+        # precomputed (S, 128) coefficient planes for the fused Pallas
+        # PCR kernel (single-RHS path; see ops/scan_solve.py)
+        from .ops.scan_solve import pack_bands_2d
+
+        S = -(-n // 128)
+        np_dt = np.dtype(dt)
+        rs = np.asarray(self.plan.Rs, dtype=np_dt)
+        ld, lo = (np.asarray(lb["diag"], np_dt), np.asarray(lb["off"], np_dt))
+        ud, uo = (np.asarray(ub["diag"], np_dt), np.asarray(ub["off"], np_dt))
+        self._scan2d = {
+            "aL": jnp.asarray(pack_bands_2d(-lo / ld, 0.0, S)),
+            "sL": jnp.asarray(pack_bands_2d(rs / ld, 0.0, S)),
+            "aU": jnp.asarray(pack_bands_2d(-uo / ud, 0.0, S)),
+            "sU": jnp.asarray(pack_bands_2d(1.0 / ud, 0.0, S)),
+        }
 
     def _prepare_fused_ldiv(self) -> None:
         """Build (when eligible) the fused-ldiv op stream: the whole
         perm → lsolve → rsolve → unperm pipeline as ONE Pallas program
-        (ops/pallas_ldiv.py). ``_ldiv_stream`` is the device tile stream;
-        it is refreshed by device refactorizations."""
+        (ops/pallas_ldiv.py). Two device tile streams: ``_ldiv_stream_perm``
+        (int8 one-hot, value-independent — built once here) and
+        ``_ldiv_stream_lu`` (f32, refreshed by device refactorizations)."""
         self._ldiv_ops = None
-        self._ldiv_stream = jnp.zeros((0,), self.dtype)  # dummy jit arg
+        self._ldiv_stream_perm = jnp.zeros((0,), jnp.int8)  # dummy jit args
+        self._ldiv_stream_lu = jnp.zeros((0,), self.dtype)
         if not self._pallas_eligible():
             return
         from .ops.pallas_ldiv import (
             SRC_LDINV, SRC_LOFF, SRC_PERMP, SRC_PERMQ, SRC_UDINV, SRC_UOFF,
-            build_ldiv_ops, build_ldiv_stream, stream_gather_spec,
+            build_ldiv_ops, build_lu_stream, build_perm_stream,
+            stream_gather_spec,
         )
 
         plan = self.plan
@@ -301,14 +354,15 @@ class ParallelSparseLU:
             SRC_PERMQ: permq.shape[0],
         }
         self._ldiv_ops = ops
-        self._ldiv_gather = jnp.asarray(stream_gather_spec(ops, sizes))
-        self._permp_flat = permp
-        self._permq_flat = permq
-        self._ldiv_stream = build_ldiv_stream(
-            self._ldiv_gather, permp,
+        self._ldiv_gather = jnp.asarray(stream_gather_spec(ops, sizes, 1))
+        self._ldiv_stream_perm = build_perm_stream(
+            jnp.asarray(stream_gather_spec(ops, sizes, 0)), permp, permq
+        )
+        self._ldiv_stream_lu = build_lu_stream(
+            self._ldiv_gather,
             self.ldata.diag_inv, self.ldata.offdiag,
             self.udata.diag_inv, self.udata.offdiag,
-            permq, dtype=self.dtype,
+            dtype=self.dtype,
         )
 
     def _pallas_eligible(self) -> bool:
@@ -361,7 +415,7 @@ class ParallelSparseLU:
             xw = block_rhs(b, n, plan.uplan.K, cs)
             return unblock_rhs(tri(plan.uplan, udata, xw), n)
 
-        def ldiv(ldata, udata, pperm, qperm, rs_blk, stream, b):
+        def ldiv(ldata, udata, pperm, qperm, rs_blk, s_perm, s_lu, b):
             from .ops.pallas_ldiv import pallas_fused_ldiv, supports_fused_ldiv
             from .ops.permute import apply_perm
 
@@ -373,7 +427,8 @@ class ParallelSparseLU:
             # static (trace-time) dispatch: the fused Pallas program when
             # the op stream exists and this RHS width fits VMEM
             if ops is not None and supports_fused_ldiv(ops, xw.shape[-1]):
-                xw = pallas_fused_ldiv(ops, stream, xw, interpret=interpret)
+                xw = pallas_fused_ldiv(ops, s_perm, s_lu, xw,
+                                       interpret=interpret)
                 return unblock_rhs(xw, n_in)
             xw = apply_perm(pperm, xw)       # block-one-hot matmul perm
             xw = tri(plan.lplan, ldata, xw)  # forward subst. (src:330)
@@ -382,13 +437,40 @@ class ParallelSparseLU:
             xw = apply_perm(qperm, xw)
             return unblock_rhs(xw, n_in)
 
+        from .ops.scan_solve import scan_bidiag_solve
+
+        def lsolve_scan(ld, lo, b):
+            return scan_bidiag_solve(ld, lo, b, lower=True)
+
+        def rsolve_scan(ud, uo, b):
+            return scan_bidiag_solve(ud, uo, b, lower=False)
+
+        def ldiv_scan(rs, ld, lo, ud, uo, aL, sL, aU, sU, b):
+            # Rs ⊙ b then both scans (src:324-339; p == q == identity here)
+            if b.shape[1] == 1:
+                # single RHS: one fused Pallas PCR program
+                from .ops.scan_solve import pallas_bidiag_ldiv
+
+                S = sL.shape[0]
+                b2 = jnp.pad(b[:, 0], (0, S * 128 - n)).reshape(S, 128)
+                y = pallas_bidiag_ldiv(
+                    aL, sL, aU, sU, b2, n=n, interpret=interpret
+                )
+                return y.reshape(S * 128)[:n, None]
+            w = rs * b
+            w = scan_bidiag_solve(ld, lo, w, lower=True)
+            return scan_bidiag_solve(ud, uo, w, lower=False)
+
         fns = {
-            "lsolve": jax.jit(_prec(lsolve)),
-            "rsolve": jax.jit(_prec(rsolve)),
-            "ldiv": jax.jit(_prec(ldiv)),
+            "lsolve": lambda: jax.jit(_prec(lsolve)),
+            "rsolve": lambda: jax.jit(_prec(rsolve)),
+            "ldiv": lambda: jax.jit(_prec(ldiv)),
+            "lsolve_scan": lambda: jax.jit(lsolve_scan),
+            "rsolve_scan": lambda: jax.jit(rsolve_scan),
+            "ldiv_scan": lambda: jax.jit(ldiv_scan),
         }
-        self._jit_cache[kind] = fns[kind]
-        return fns[kind]
+        self._jit_cache[kind] = fns[kind]()
+        return self._jit_cache[kind]
 
     # -- public solves ------------------------------------------------------
     def _as_rhs(self, b, n=None):
@@ -409,13 +491,21 @@ class ParallelSparseLU:
         Under ordering="nd" the factors live on the extended matrix:
         ``b`` has length ``n_factor``."""
         b, squeeze = self._as_rhs(b, self.n_factor)
-        y = self._exe("lsolve")(self.ldata, b)
+        if self._scan_bands is not None:
+            sb = self._scan_bands
+            y = self._exe("lsolve_scan")(sb["ld"], sb["lo"], b)
+        else:
+            y = self._exe("lsolve")(self.ldata, b)
         return y[:, 0] if squeeze else y
 
     def rsolve(self, b):
         """Solve ``U y = b`` (reference ``rsolve!``, src:374-392)."""
         b, squeeze = self._as_rhs(b, self.n_factor)
-        y = self._exe("rsolve")(self.udata, b)
+        if self._scan_bands is not None:
+            sb = self._scan_bands
+            y = self._exe("rsolve_scan")(sb["ud"], sb["uo"], b)
+        else:
+            y = self._exe("rsolve")(self.udata, b)
         return y[:, 0] if squeeze else y
 
     def ldiv(self, b, *, refine_steps: int = 0):
@@ -443,9 +533,15 @@ class ParallelSparseLU:
         """(jitted executable, device args) for the full ldiv — the args
         tuple is what benchmark harnesses should pass explicitly (baked
         closure constants compile pathologically through an RPC tunnel)."""
+        if self._scan_bands is not None and self._scan_perm_id:
+            sb, s2 = self._scan_bands, self._scan2d
+            return self._exe("ldiv_scan"), (
+                self._rs_vec, sb["ld"], sb["lo"], sb["ud"], sb["uo"],
+                s2["aL"], s2["sL"], s2["aU"], s2["sU"],
+            )
         exe = self._exe("ldiv")
         args = (self.ldata, self.udata, self._pperm, self._qperm,
-                self._rs_blk, self._ldiv_stream)
+                self._rs_blk, self._ldiv_stream_perm, self._ldiv_stream_lu)
         return exe, args
 
     solve = ldiv
@@ -633,11 +729,11 @@ class ParallelSparseLU:
         ext_pos = None if ext is None else jnp.asarray(ext["pos"])
 
         @jax.jit
-        def step(a_data, b, pperm, qperm, gather, permp, permq,
+        def step(a_data, b, pperm, qperm, gather, s_perm,
                  spmv, spmv_dest):
             with jax.default_matmul_precision(prec):
                 from .ops.pallas_ldiv import (
-                    build_ldiv_stream,
+                    build_lu_stream,
                     pallas_fused_ldiv,
                     supports_fused_ldiv,
                 )
@@ -665,11 +761,13 @@ class ParallelSparseLU:
                     ops, b32.shape[-1]
                 )
                 if fused:
-                    stream = build_ldiv_stream(
-                        gather, permp,
+                    # only the f32 L/U stream depends on values; the int8
+                    # perm stream s_perm is a reusable constant
+                    s_lu = build_lu_stream(
+                        gather,
                         out["ldiag_inv"], out["loff"],
                         out["udiag_inv"], out["uoff"],
-                        permq, dtype=self.dtype,
+                        dtype=self.dtype,
                     )
                 else:
                     ldata = mk(plan.lplan, out["ldiag"], out["loff"],
@@ -681,7 +779,7 @@ class ParallelSparseLU:
                     xw = block_rhs(v, n_in, K_in, cs) * rs_blk
                     if fused:
                         xw = pallas_fused_ldiv(
-                            ops, stream, xw, interpret=interpret
+                            ops, s_perm, s_lu, xw, interpret=interpret
                         )
                         return unblock_rhs(xw, n_in)
                     xw = apply_perm(pperm, xw)
@@ -706,11 +804,10 @@ class ParallelSparseLU:
                 return x
 
         gather = self._ldiv_gather if ops is not None else None
-        permp = self._permp_flat if ops is not None else None
-        permq = self._permq_flat if ops is not None else None
+        s_perm = self._ldiv_stream_perm if ops is not None else None
         return lambda a_data, b: step(
             jnp.asarray(a_data), jnp.asarray(b), self._pperm, self._qperm,
-            gather, permp, permq, self._spmv, self._spmv_dest,
+            gather, s_perm, self._spmv, self._spmv_dest,
         )
 
 

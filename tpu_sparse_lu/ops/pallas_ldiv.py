@@ -38,9 +38,16 @@ a pre-zeroed panel. Tiles stream from HBM in fixed-size pages of ``PAGE``
 tiles, double-buffered — page ``p+1`` DMAs in while page ``p`` computes
 (the ring buffer that lets arbitrarily wide plans run in bounded VMEM).
 
-Because the permutation tiles are 0/1 and value-independent, a device
-refactorization only has to refresh the L/U slices of the stream
-(see refactor.py) — the perm segments are reusable constants.
+The kernel is HBM-BANDWIDTH-bound on the tile stream (measured: ~150GB/s
+sustained, op count barely matters), so tiles travel in TWO streams by
+value type: the permutation tiles are 0/1 and value-independent, so they
+stream as **int8** (4x fewer bytes — they are most of the ops) and are
+widened on the VPU after the page DMA lands; the L/U tiles stream as
+f32. Pages are single-kind (each phase is padded to a page boundary) and
+each stream has its own VMEM ring buffer, so a per-page kind flag picks
+the buffer and the op loop stays branchless per op. The split also makes
+the perm stream a reusable constant: a device refactorization rebuilds
+only the f32 L/U stream (see refactor.py).
 """
 
 from __future__ import annotations
@@ -60,18 +67,21 @@ from ..symbolic import TriPlan
 __all__ = [
     "LdivOps",
     "build_ldiv_ops",
-    "build_ldiv_stream",
+    "build_lu_stream",
+    "build_perm_stream",
     "supports_fused_ldiv",
     "pallas_fused_ldiv",
 ]
 
-PAGE = 16  # tiles per DMA page (PAGE * cs * cs * 4 bytes per buffer)
+PAGE = 16  # tiles per DMA page (PAGE * cs * cs * itemsize bytes per buffer)
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom out of ~16MB
 _SMEM_BUDGET = 256 * 1024
 
-# tile-source component ids for the stream gather (build_ldiv_stream)
+# tile-source component ids for the stream gathers
 SRC_PERMP, SRC_LDINV, SRC_LOFF, SRC_UDINV, SRC_UOFF, SRC_PERMQ = range(6)
+_PERM_COMPONENTS = (SRC_PERMP, SRC_PERMQ)          # int8 stream
+_LU_COMPONENTS = (SRC_LDINV, SRC_LOFF, SRC_UDINV, SRC_UOFF)  # f32 stream
 
 
 @dataclasses.dataclass
@@ -80,9 +90,13 @@ class LdivOps:
 
     ``src/dst/acc`` drive the kernel (scalar-prefetched; indices into the
     unified ``(P, Rp, cs)`` panel); ``tile_base`` / ``tile_idx`` say which
-    component buffer each op's tile comes from, so the device stream can
+    component buffer each op's tile comes from, so each device stream can
     be (re)built with one concat + gather — both at pack time and inside
     the jitted refactorization pipeline.
+
+    Ops are emitted in three page-aligned segments — perm-in (int8),
+    L+U (f32), perm-out (int8) — and ``page_kind``/``page_off`` say, per
+    page, which stream it reads and at which page offset within it.
 
     Panel layout: blocks ``[0, KA]`` input space, ``[KA+1, KA+KB+1]``
     factor space, ``[KA+KB+2, 2*KA+KB+2]`` output space, ``[P-1]`` dummy.
@@ -97,6 +111,8 @@ class LdivOps:
     acc: np.ndarray        # (Npad,) int32: 1 = accumulate, 0 = set
     tile_base: np.ndarray  # (Npad,) int32 component id, -1 = zero tile
     tile_idx: np.ndarray   # (Npad,) int32 index within the component
+    page_kind: np.ndarray  # (NPAGES,) int32: 0 = int8 perm, 1 = f32 L/U
+    page_off: np.ndarray   # (NPAGES,) int32 page index within its stream
 
     @property
     def n_pages(self) -> int:
@@ -124,21 +140,52 @@ def _perm_pairs(pplan) -> list:
     return out
 
 
+def _interleave(items: list, dst_of) -> list:
+    """Round-robin a wave of independent ops across DISTINCT destinations.
+
+    Ops accumulating into the same panel block form a serial read-modify-
+    write chain; consecutive same-dst ops stall the whole pipeline on it
+    (measured: banded-dissection streams, whose separator chunks receive
+    dozens of back-to-back updates, ran ~2 µs/op vs ~0.4 µs interleaved).
+    Within a wave every op is independent of the others' OUTPUTS, so any
+    order is valid — emit one op per destination in rotation.
+    """
+    from collections import OrderedDict
+
+    queues: "OrderedDict[int, list]" = OrderedDict()
+    for it in items:
+        queues.setdefault(dst_of(it), []).append(it)
+    out = []
+    while queues:
+        for d in list(queues.keys()):
+            out.append(queues[d].pop(0))
+            if not queues[d]:
+                del queues[d]
+    return out
+
+
 def _tri_ops(plan: TriPlan, fac0: int, dinv_base: int, off_base: int):
-    """Flatten one factor's level schedule into dependency-ordered ops."""
+    """Flatten one factor's level schedule into dependency-ordered ops.
+
+    Each level contributes two waves — the batched diagonal solves, then
+    the off-diagonal updates pushed from this level's chunks — and each
+    wave is destination-interleaved (see :func:`_interleave`).
+    """
     src, dst, acc, base, idx = [], [], [], [], []
     for l in range(plan.num_levels):
         nc = int(plan.level_chunk_counts[l])
-        for a in range(nc):
-            k = int(plan.level_chunks[l, a])
+        for k in plan.level_chunks[l, :nc].tolist():
             src.append(fac0 + k)
             dst.append(fac0 + k)
             acc.append(0)           # diagonal solve: x_k = Tinv_k x_k
             base.append(dinv_base)
             idx.append(k)
         nt = int(plan.level_tile_counts[l])
-        for a in range(nt):
-            t = int(plan.level_tiles[l, a])
+        tiles = _interleave(
+            plan.level_tiles[l, :nt].tolist(),
+            lambda t: int(plan.tile_brow[t]),
+        )
+        for t in tiles:
             src.append(fac0 + int(plan.tile_bcol[t]))
             dst.append(fac0 + int(plan.tile_brow[t]))
             acc.append(1)           # off-diagonal update (tiles pre-negated)
@@ -166,14 +213,28 @@ def build_ldiv_ops(
     out0 = KA + KB + 2     # output-space block offset
     dummy = 2 * (KA + 1) + (KB + 1)  # last block
     src, dst, acc, base, idx = [], [], [], [], []
+    seg_pages = []  # (kind, n_pages) per segment
+
+    def close_segment(kind):
+        """Pad the open segment to a page boundary and record its kind."""
+        pad = (-len(src)) % PAGE
+        src.extend([dummy] * pad)
+        dst.extend([dummy] * pad)
+        acc.extend([1] * pad)
+        base.extend([-1] * pad)
+        idx.extend([0] * pad)
+        done = sum(p * PAGE for _, p in seg_pages)
+        seg_pages.append((kind, (len(src) - done) // PAGE))
+
     # phase 1: wrk = P(Rs ⊙ b) — scale happens in XLA before the kernel;
     # the factor-space panel is pre-zeroed, so every perm tile accumulates
-    for (d, s, t) in _perm_pairs(pperm):
+    for (d, s, t) in _interleave(_perm_pairs(pperm), lambda it: it[0]):
         src.append(s)
         dst.append(fac0 + d)
         acc.append(1)
         base.append(SRC_PERMP)
         idx.append(t)
+    close_segment(0)
     # phase 2/3: the triangular solves (reference src:330, :333)
     for plan, db, ob in ((lplan, SRC_LDINV, SRC_LOFF),
                          (uplan, SRC_UDINV, SRC_UOFF)):
@@ -183,61 +244,81 @@ def build_ldiv_ops(
         acc += a_
         base += b_
         idx += i_
+    close_segment(1)
     # phase 4: x[q] = wrk (reference src:337-339), into the output blocks
-    for (d, s, t) in _perm_pairs(qperm):
+    for (d, s, t) in _interleave(_perm_pairs(qperm), lambda it: it[0]):
         src.append(fac0 + s)
         dst.append(out0 + d)
         acc.append(1)
         base.append(SRC_PERMQ)
         idx.append(t)
-    n_ops = len(src)
-    pad = (-n_ops) % PAGE
-    src += [dummy] * pad
-    dst += [dummy] * pad
-    acc += [1] * pad
-    base += [-1] * pad
-    idx += [0] * pad
+    close_segment(0)
+
+    page_kind, page_off = [], []
+    off = {0: 0, 1: 0}
+    for kind, n in seg_pages:
+        for _ in range(n):
+            page_kind.append(kind)
+            page_off.append(off[kind])
+            off[kind] += 1
+    base = np.asarray(base, dtype=np.int32)
     return LdivOps(
-        KA=KA, KB=KB, cs=cs, n_ops=n_ops,
+        KA=KA, KB=KB, cs=cs, n_ops=int(np.sum(base >= 0)),
         src=np.asarray(src, dtype=np.int32),
         dst=np.asarray(dst, dtype=np.int32),
         acc=np.asarray(acc, dtype=np.int32),
         tile_base=np.asarray(base, dtype=np.int32),
         tile_idx=np.asarray(idx, dtype=np.int32),
+        page_kind=np.asarray(page_kind, dtype=np.int32),
+        page_off=np.asarray(page_off, dtype=np.int32),
     )
 
 
-def stream_gather_spec(ops: LdivOps, sizes: dict) -> np.ndarray:
-    """Flat gather indices into the concatenated component buffer.
+def stream_gather_spec(ops: LdivOps, sizes: dict, kind: int) -> np.ndarray:
+    """Gather indices building one stream (``kind``: 0 perm / 1 L+U).
 
     ``sizes[base] = number of tiles component `base` contributes``; the
-    concat order is SRC_PERMP..SRC_PERMQ followed by one zero tile.
+    concat order follows ``_PERM_COMPONENTS`` / ``_LU_COMPONENTS``
+    followed by one zero tile. Output length = (pages of this kind)*PAGE,
+    in page order.
     """
+    comps = _PERM_COMPONENTS if kind == 0 else _LU_COMPONENTS
     offs = {}
-    acc = 0
-    for b in range(6):
-        offs[b] = acc
-        acc += int(sizes.get(b, 0))
-    zero_slot = acc
-    flat = np.full(ops.src.shape[0], zero_slot, dtype=np.int32)
-    real = ops.tile_base >= 0
-    flat[real] = ops.tile_idx[real] + np.array(
-        [offs[b] for b in ops.tile_base[real]], dtype=np.int32
+    total = 0
+    for b in comps:
+        offs[b] = total
+        total += int(sizes.get(b, 0))
+    zero_slot = total
+    page_sel = ops.page_kind == kind
+    slot_sel = np.repeat(page_sel, PAGE)
+    tb = ops.tile_base[slot_sel]
+    ti = ops.tile_idx[slot_sel]
+    flat = np.full(tb.shape[0], zero_slot, dtype=np.int32)
+    real = np.isin(tb, comps)
+    flat[real] = ti[real] + np.array(
+        [offs[b] for b in tb[real]], dtype=np.int32
     )
     return flat
 
 
-def build_ldiv_stream(
-    gather_idx,      # device or host int32 (Npad,) from stream_gather_spec
-    permp_tiles,     # (K*S, cs, cs) any dtype (one-hot)
+def build_perm_stream(gather_idx, permp_tiles, permq_tiles) -> jax.Array:
+    """Assemble the int8 permutation stream (transposed one-hot tiles).
+    Value-independent: built once per symbolic plan."""
+    cs = permp_tiles.shape[-1]
+    parts = [permp_tiles, permq_tiles, jnp.zeros((1, cs, cs), jnp.int8)]
+    big = jnp.concatenate([p.astype(jnp.int8) for p in parts], axis=0)
+    return big[jnp.asarray(gather_idx)].transpose(0, 2, 1)
+
+
+def build_lu_stream(
+    gather_idx,      # device or host int32 from stream_gather_spec(kind=1)
     ldiag_inv, loff, udiag_inv, uoff,  # component buffers (·, cs, cs)
-    permq_tiles,
     dtype=jnp.float32,
 ):
-    """Assemble the device tile stream (transposed tiles). Jit-friendly —
+    """Assemble the f32 L/U tile stream (transposed tiles). Jit-friendly —
     the refactorization pipeline calls this with refreshed L/U buffers."""
     cs = ldiag_inv.shape[-1]
-    parts = [permp_tiles, ldiag_inv, loff, udiag_inv, uoff, permq_tiles,
+    parts = [ldiag_inv, loff, udiag_inv, uoff,
              jnp.zeros((1, cs, cs), dtype)]
     big = jnp.concatenate([p.astype(dtype) for p in parts], axis=0)
     return big[jnp.asarray(gather_idx)].transpose(0, 2, 1)
@@ -259,22 +340,24 @@ def supports_fused_ldiv(ops: Optional[LdivOps], R: int,
         return False
     Rp = _rp(R)
     panel = ops.panel_blocks * Rp * cs * itemsize
-    pages = 2 * PAGE * cs * cs * itemsize
+    pages = 2 * PAGE * cs * cs * (itemsize + 1)  # f32 + int8 ring buffers
     if panel + pages >= _VMEM_BUDGET:
         return False
-    if ops.src.shape[0] * 3 * 4 >= _SMEM_BUDGET:
+    if (ops.src.shape[0] * 3 + ops.page_kind.shape[0] * 2) * 4 >= _SMEM_BUDGET:
         return False
     return True
 
 
 def _kernel(
-    src_ref, dst_ref, acc_ref,  # scalar prefetch (Npad,) each
-    in_hbm,       # (KA+1, Rp, cs) HBM — scaled, blocked, transposed RHS
-    stream_hbm,   # (Npad, cs, cs) HBM — transposed tile stream
-    out_hbm,      # (KA+1, Rp, cs) HBM
-    x,            # (P, Rp, cs) VMEM — unified input/factor/output panel
-    pages,        # (2, PAGE, cs, cs) VMEM ring buffer
-    io_sem, page_sem,
+    src_ref, dst_ref, acc_ref,    # scalar prefetch (Npad,) each
+    kind_ref, off_ref,            # scalar prefetch (NPAGES,) each
+    in_hbm,        # (KA+1, Rp, cs) HBM — scaled, blocked, transposed RHS
+    sperm_hbm,     # (N8, cs, cs) int8 HBM — transposed perm tile stream
+    slu_hbm,       # (N32, cs, cs) f32 HBM — transposed L/U tile stream
+    out_hbm,       # (KA+1, Rp, cs) HBM
+    x,             # (P, Rp, cs) VMEM — unified input/factor/output panel
+    pages8, pages32,  # VMEM ring buffers, one per stream
+    io_sem, sem8, sem32,
     *,
     NPAGES: int,
     KA: int,
@@ -282,16 +365,34 @@ def _kernel(
 ):
     pg = pl.program_id(0)
 
-    def page_dma(slot, page):
+    def perm_dma(q):
+        off = off_ref[q]
         return pltpu.make_async_copy(
-            stream_hbm.at[pl.ds(page * PAGE, PAGE)],
-            pages.at[slot],
-            page_sem.at[slot],
+            sperm_hbm.at[pl.ds(off * PAGE, PAGE)],
+            pages8.at[off % 2],
+            sem8.at[off % 2],
         )
+
+    def lu_dma(q):
+        off = off_ref[q]
+        return pltpu.make_async_copy(
+            slu_hbm.at[pl.ds(off * PAGE, PAGE)],
+            pages32.at[off % 2],
+            sem32.at[off % 2],
+        )
+
+    def start_dma(q):
+        @pl.when(kind_ref[q] == 0)
+        def _():
+            perm_dma(q).start()
+
+        @pl.when(kind_ref[q] == 1)
+        def _():
+            lu_dma(q).start()
 
     @pl.when(pg == 0)
     def _():
-        page_dma(0, 0).start()
+        start_dma(0)
         x[:] = jnp.zeros_like(x)
         cp = pltpu.make_async_copy(
             in_hbm, x.at[pl.ds(0, KA + 1)], io_sem
@@ -301,18 +402,29 @@ def _kernel(
 
     @pl.when(pg + 1 < NPAGES)
     def _():
-        page_dma((pg + 1) % 2, pg + 1).start()
+        start_dma(pg + 1)
 
-    page_dma(pg % 2, pg).wait()
+    def op_loop(tile_of):
+        for j in range(PAGE):
+            i = pg * PAGE + j
+            s = src_ref[i]
+            d = dst_ref[i]
+            a = acc_ref[i]
+            y = jnp.dot(x[s], tile_of(j),
+                        preferred_element_type=jnp.float32)
+            x[d] = y.astype(x.dtype) + a.astype(x.dtype) * x[d]
 
-    for j in range(PAGE):
-        i = pg * PAGE + j
-        s = src_ref[i]
-        d = dst_ref[i]
-        a = acc_ref[i]
-        y = jnp.dot(x[s], pages[pg % 2, j],
-                    preferred_element_type=jnp.float32)
-        x[d] = y.astype(x.dtype) + a.astype(x.dtype) * x[d]
+    slot = off_ref[pg] % 2
+
+    @pl.when(kind_ref[pg] == 0)
+    def _():
+        perm_dma(pg).wait()
+        op_loop(lambda j: pages8[slot, j].astype(jnp.float32))
+
+    @pl.when(kind_ref[pg] == 1)
+    def _():
+        lu_dma(pg).wait()
+        op_loop(lambda j: pages32[slot, j])
 
     @pl.when(pg == NPAGES - 1)
     def _():
@@ -325,8 +437,9 @@ def _kernel(
 
 def pallas_fused_ldiv(
     ops: LdivOps,
-    stream: jax.Array,   # (Npad, cs, cs) from build_ldiv_stream
-    xw: jax.Array,       # (KA+1, cs, R) chunk-blocked SCALED rhs
+    stream_perm: jax.Array,  # (N8, cs, cs) int8 from build_perm_stream
+    stream_lu: jax.Array,    # (N32, cs, cs) f32 from build_lu_stream
+    xw: jax.Array,           # (KA+1, cs, R) chunk-blocked SCALED rhs
     *,
     interpret: bool = False,
 ) -> jax.Array:
@@ -341,17 +454,20 @@ def pallas_fused_ldiv(
     NPAGES = ops.n_pages
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(NPAGES,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # xt (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),  # stream (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # perm stream (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # L/U stream (HBM)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((ops.panel_blocks, Rp, cs), dtype),
+            pltpu.VMEM((2, PAGE, cs, cs), jnp.int8),
             pltpu.VMEM((2, PAGE, cs, cs), dtype),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -362,14 +478,17 @@ def pallas_fused_ldiv(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((KA + 1, Rp, cs), dtype),
-        input_output_aliases={3: 0},  # xt buffer reused as output
+        input_output_aliases={5: 0},  # xt buffer reused as output
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         jnp.asarray(ops.src),
         jnp.asarray(ops.dst),
         jnp.asarray(ops.acc),
+        jnp.asarray(ops.page_kind),
+        jnp.asarray(ops.page_off),
         xt,
-        stream,
+        stream_perm,
+        stream_lu,
     )
     return out[:, :R, :].transpose(0, 2, 1)

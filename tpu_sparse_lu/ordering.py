@@ -45,12 +45,12 @@ def _bfs_levels(adj_indptr, adj_indices, nodes, start):
     return order, level
 
 
-def _dissect(adj_indptr, adj_indices, nodes_list, cutoff):
+def _dissect(adj_indptr, adj_indices, nodes_list, cutoff, depth0=0):
     """Dissect and return groups as (depth, nodes): bases and separators
     tagged with their recursion depth. A separator's ancestors always have
     strictly smaller depth."""
     groups = []
-    stack = [(nodes_list, 0)]
+    stack = [(nodes_list, depth0)]
     while stack:
         nodes_list, d = stack.pop()
         if not nodes_list:
@@ -87,6 +87,63 @@ def _dissect(adj_indptr, adj_indices, nodes_list, cutoff):
     return groups
 
 
+def _dissect_banded(S: sp.csr_matrix, cutoff: int, cs: int):
+    """Index-contiguous ("banded") dissection.
+
+    Splits the natural index range recursively at the midpoint; the
+    separator is the CONTIGUOUS range ``[mid, max(hi[a:mid])+1)`` that
+    covers every edge crossing the cut (``hi[i]`` = largest neighbour of
+    ``i`` in the symmetrized pattern, so rows left of the separator reach
+    at most its end). For banded/PDE matrices in their natural order the
+    separator width is the local bandwidth, every group is a contiguous
+    index range, and the ldiv permutations collapse to near-block-copies
+    (measured on 2D Poisson: the scattered BFS separators made the perms
+    75% of the fused op stream). A range whose separator would be wider
+    than a third of the range is not meaningfully banded — it is handed
+    to the BFS dissection (:func:`_dissect`) at its current depth, so
+    irregular matrices degrade gracefully to the general path.
+    """
+    n = S.shape[0]
+    # per-row max neighbour; empty rows -> self
+    hi = np.full(n, -1, dtype=np.int64)
+    nz_rows = np.nonzero(np.diff(S.indptr))[0]
+    hi[nz_rows] = np.maximum.reduceat(S.indices, S.indptr[nz_rows])
+    hi = np.maximum(hi, np.arange(n, dtype=np.int64))
+
+    def range_max(a, b):
+        return int(hi[a:b].max())
+
+    groups = []
+    leaf = max(cutoff, cs)
+    stack = [(0, n, 0)]
+    while stack:
+        a, b, d = stack.pop()
+        if b - a <= 0:
+            continue
+        if b - a <= leaf:
+            groups.append((d, list(range(a, b))))
+            continue
+        # cs-aligned split point: left children come out as exact
+        # cs-multiples, so the bin packer emits them with zero padding
+        mid = a + max(cs, ((b - a) // 2) // cs * cs)
+        if mid >= b:
+            groups.append((d, list(range(a, b))))
+            continue
+        s1 = min(max(range_max(a, mid) + 1, mid), b)
+        if (s1 - mid) * 3 > (b - a):
+            # not banded here: BFS-dissect this range at the same depth
+            groups.extend(
+                _dissect(S.indptr, S.indices, list(range(a, b)),
+                         cutoff, depth0=d)
+            )
+            continue
+        if s1 < b:
+            stack.append((s1, b, d + 1))
+        groups.append((d, list(range(mid, s1))))
+        stack.append((a, mid, d + 1))
+    return groups
+
+
 def staged_extension(A: sp.spmatrix, cs: int, cutoff: int = None):
     """Chunk-aligned nested-dissection embedding.
 
@@ -112,7 +169,7 @@ def staged_extension(A: sp.spmatrix, cs: int, cutoff: int = None):
     cutoff = cutoff if cutoff is not None else max(32, cs // 2)
     S = (A + A.T).tocsr()
     S.sort_indices()
-    groups = _dissect(S.indptr, S.indices, list(range(n)), cutoff)
+    groups = _dissect_banded(S, cutoff, cs)
     # bins per stage: first-fit-decreasing into cs-capacity bins; a group
     # larger than cs takes dedicated bins (its internal chain is real)
     from collections import defaultdict
@@ -122,24 +179,31 @@ def staged_extension(A: sp.spmatrix, cs: int, cutoff: int = None):
         by_stage[d].append(g)
     order_rows = []
     for d in sorted(by_stage.keys(), reverse=True):  # deepest first
-        # LOCALITY-AWARE shelf packing: groups walked in ascending
-        # min-original-row order and appended to the current bin until
-        # full. Compared to first-fit-decreasing this wastes a little
-        # more padding but keeps each bin's rows drawn from a handful of
-        # contiguous original-index runs — which is what makes the ldiv
-        # permutations block-SPARSE (measured on 2D Poisson: input-perm
-        # chunk pairs 2348 → ~600; the perm was 75% of the fused op
-        # stream). Rows within a bin are sorted by original index for the
-        # same reason (any within-bin order is symbolically valid: bin
-        # rows are mutually independent same-stage rows, and tile-level
-        # fill only sees the row SET).
+        # LOCALITY-AWARE shelf packing of WHOLE groups: groups walked in
+        # ascending min-row order, appended to the current bin while they
+        # fit, oversize groups cut into dedicated cs-bins. Bins never
+        # straddle a multi-bin group boundary INTO the next group — a
+        # straddling bin would bridge the big group's internal band
+        # coupling across every bin it spans and chain the whole stage
+        # (measured: 9 → 52 chunk-DAG levels on 2D Poisson). Rows within
+        # a bin are sorted by original index: combined with the banded
+        # dissection's contiguous groups this keeps each bin a handful of
+        # original-index runs, making the ldiv permutations block-sparse
+        # (input-perm chunk pairs 2348 → ~380 on 2D Poisson; the perms
+        # were 75% of the fused op stream).
         bins = []
         cur: list = []
         for g in sorted((g for g in by_stage[d] if g), key=min):
             if len(g) >= cs:
-                # dedicated bins, padded to a chunk multiple
+                if cur:
+                    bins.append(cur)
+                    cur = []
                 for i in range(0, len(g), cs):
-                    bins.append(list(g[i:i + cs]))
+                    piece = list(g[i:i + cs])
+                    if len(piece) == cs:
+                        bins.append(piece)
+                    else:
+                        cur = piece  # tail rides with the next groups
                 continue
             if len(cur) + len(g) > cs:
                 bins.append(cur)

@@ -25,10 +25,10 @@ def make_dp_ldiv(F, mesh: Mesh, axis: str = "chunks"):
     rep = NamedSharding(mesh, P())
 
     fn = jax.jit(
-        lambda ldata, udata, pperm, qperm, rs_blk, stream, b: exe(
-            ldata, udata, pperm, qperm, rs_blk, stream, b
+        lambda ldata, udata, pperm, qperm, rs_blk, s_perm, s_lu, b: exe(
+            ldata, udata, pperm, qperm, rs_blk, s_perm, s_lu, b
         ),
-        in_shardings=(rep, rep, rep, rep, rep, rep, rhs_sharding),
+        in_shardings=(rep, rep, rep, rep, rep, rep, rep, rhs_sharding),
         out_shardings=rhs_sharding,
     )
 
@@ -38,6 +38,6 @@ def make_dp_ldiv(F, mesh: Mesh, axis: str = "chunks"):
             raise ValueError("dp ldiv expects an (n, R) panel")
         b = jax.device_put(b, rhs_sharding)
         return fn(F.ldata, F.udata, F._pperm, F._qperm, F._rs_blk,
-                  F._ldiv_stream, b)
+                  F._ldiv_stream_perm, F._ldiv_stream_lu, b)
 
     return solve

@@ -456,20 +456,24 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
                    out.get("ldiag_inv"))
     F.udata = kern(F.plan.uplan, out["udiag"], out["uoff"],
                    out.get("udiag_inv"))
+    # the bidiagonal-band fast path (api._prepare_scan_path) caches factor
+    # VALUES; a device refactorization bypasses it until the next re-pack
+    F._scan_bands = None
+    F._scan_perm_id = False
     # device scalars; synced only when the caller asks (check=True)
     F.refactor_diagnostics = {
         "min_pivot": out["min_pivot"], "growth": out["growth"]
     }
     if F._ldiv_ops is not None:
-        # refresh the fused-ldiv tile stream (perm segments are
-        # value-independent; only the L/U slices change)
-        from .ops.pallas_ldiv import build_ldiv_stream
+        # refresh the fused-ldiv L/U tile stream (the int8 perm stream is
+        # value-independent and untouched)
+        from .ops.pallas_ldiv import build_lu_stream
 
-        F._ldiv_stream = build_ldiv_stream(
-            F._ldiv_gather, F._permp_flat,
+        F._ldiv_stream_lu = build_lu_stream(
+            F._ldiv_gather,
             out["ldiag_inv"], out["loff"],
             out["udiag_inv"], out["uoff"],
-            F._permq_flat, dtype=F.dtype,
+            dtype=F.dtype,
         )
     rs = out["rs"]
     # Rs changed; p, q are static. rs is in factor row order == input row
