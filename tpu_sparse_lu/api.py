@@ -644,11 +644,15 @@ class ParallelSparseLU:
         rp = self._refactor_plan
         self._refactor_dev = {
             "a_dest": jnp.asarray(rp.a_dest),
-            "a_rows": jnp.asarray(rp.a_rows),
-            "pad_idx": jnp.asarray(rp.pad_idx),
-            "diag_id": jnp.asarray(rp.diag_id),
+            "brow_tiles": jnp.asarray(rp.brow_tiles),
+            "tile_brow": jnp.asarray(rp.tile_brow),
+            "pinv": jnp.asarray(rp.pinv),
+            "diag_ids": jnp.asarray(rp.diag_ids),
+            "diag_cnt": jnp.asarray(rp.diag_cnt),
             "row_ids": jnp.asarray(rp.row_ids),
+            "row_owner": jnp.asarray(rp.row_owner),
             "col_ids": jnp.asarray(rp.col_ids),
+            "col_owner": jnp.asarray(rp.col_owner),
             "schur": jnp.asarray(rp.schur),
             "diag_src": jnp.asarray(rp.diag_src),
             "l_off_src": jnp.asarray(rp.l_off_src),

@@ -101,23 +101,41 @@ def blocked_fill(tiles: set, K: int) -> set:
 
 @dataclasses.dataclass
 class RefactorPlan:
-    """Static schedule for the device-side blocked refactorization."""
+    """Static schedule for the device-side blocked refactorization.
+
+    Elimination steps are grouped by LEVEL of the (symmetric) closure
+    dependency DAG: chunks in one level share no closure tile, so their
+    diagonal factorizations, panel solves and Schur updates each run as
+    ONE batched op. On a chain (COLAMD banded) levels degenerate to K
+    single steps — no worse than the sequential schedule — while the
+    banded/nd orderings give ~log-depth levels (measured: K=29 steps → 6
+    levels on BASELINE config 2, ~5x fewer sequential ops; the op floor,
+    not FLOPs, dominates this device).
+    """
 
     n: int
     cs: int
     K: int
+    NL: int  # elimination levels
     TF: int  # number of merged fill tiles (dummy id = TF)
-    # per-step padded schedules (dummy tile id TF pads everything)
-    diag_id: np.ndarray      # (K,) merged id of diagonal tile k
-    row_ids: np.ndarray      # (K, MR) merged ids of L-panel tiles (i, k)
-    col_ids: np.ndarray      # (K, MU) merged ids of U-panel tiles (k, j)
-    schur: np.ndarray        # (K, MS, 3) (dst, l_tile, u_tile) merged ids
-    # input scatter: for each nonzero of A (original CSC order), its flat
-    # destination in the merged (TF+1, cs, cs) store, and its original row
-    # (for the Rs gather); OOB dest = dropped
-    a_dest: np.ndarray       # (nnzA,)
-    a_rows: np.ndarray       # (nnzA,)
-    pad_idx: np.ndarray      # flat indices of implicit-1.0 padding diagonals
+    # per-LEVEL padded schedules (dummy tile id TF pads everything)
+    diag_ids: np.ndarray     # (NL, BL) merged ids of the level's diag tiles
+    diag_cnt: np.ndarray     # (NL,) real diag count per level
+    row_ids: np.ndarray      # (NL, MR) merged ids of L-panel tiles (i, k)
+    row_owner: np.ndarray    # (NL, MR) slot of k in the level's diag batch
+    col_ids: np.ndarray      # (NL, MU) merged ids of U-panel tiles (k, j)
+    col_owner: np.ndarray    # (NL, MU)
+    schur: np.ndarray        # (NL, MS, 3) (dst, l_tile, u_tile) merged ids
+    # input assembly: irregular (per-element) gathers/scatters serialize
+    # on TPU at ~33ns/element — the old per-nonzero row-max + Rs gather +
+    # value scatter cost 9.5 of the step's 10.9 ms. The schedule keeps
+    # exactly ONE irregular op (the value scatter, unscaled, with the
+    # identity pads appended) and derives the row equilibration FROM the
+    # assembled store via tile-slice gathers, which vectorize.
+    a_dest: np.ndarray       # (nnzA + npad,) flat store destinations
+    brow_tiles: np.ndarray   # (K, MT) tile ids per block row (pad = TF+1)
+    tile_brow: np.ndarray    # (TF+2,) block row of each tile (dummy = 0)
+    pinv: np.ndarray         # (n,) store row of each original row
     # extraction maps into the solve plans (built on the same closure)
     l_off_src: np.ndarray    # (TL+1,) merged id per L-solve offdiag tile
     u_off_src: np.ndarray    # (TU+1,) merged id per U-solve offdiag tile
@@ -165,7 +183,7 @@ def build_refactor_plan(
     tile_id: Dict[Tuple[int, int], int] = {t: i for i, t in enumerate(order)}
     TF = len(order)
 
-    # --- per-step schedules -------------------------------------------------
+    # --- per-chunk tile lists ----------------------------------------------
     rows_at = [[] for _ in range(K)]  # (i, k), i > k
     cols_at = [[] for _ in range(K)]  # (k, j), j > k
     for (i, j) in order:
@@ -173,31 +191,72 @@ def build_refactor_plan(
             rows_at[j].append(i)
         elif i < j:
             cols_at[i].append(j)
-    MR = max((len(r) for r in rows_at), default=1) or 1
-    MU = max((len(c) for c in cols_at), default=1) or 1
-    schur_at = []
-    for k in range(K):
-        upd = [
-            (tile_id[(i, j)], tile_id[(i, k)], tile_id[(k, j)])
-            for i in rows_at[k]
-            for j in cols_at[k]
-        ]
-        schur_at.append(upd)
-    MS = max((len(s) for s in schur_at), default=1) or 1
 
-    diag_id = np.array([tile_id[(k, k)] for k in range(K)], dtype=np.int32)
-    row_ids = np.full((K, MR), TF, dtype=np.int32)
-    col_ids = np.full((K, MU), TF, dtype=np.int32)
-    schur = np.full((K, MS, 3), TF, dtype=np.int32)
-    for k in range(K):
-        for a, i in enumerate(rows_at[k]):
-            row_ids[k, a] = tile_id[(i, k)]
-        for a, j in enumerate(cols_at[k]):
-            col_ids[k, a] = tile_id[(k, j)]
-        for a, u in enumerate(schur_at[k]):
-            schur[k, a] = u
+    # --- elimination levels (longest path over SYMMETRIC closure deps) -----
+    # chunk k may eliminate once every c < k with a closure tile (k, c) OR
+    # (c, k) has: its diag, panels and incoming Schur updates are then
+    # final. Same-level chunks share no closure tile → batched steps.
+    # dependencies of k: every c < k with (k, c) in S (k's L-panel col c)
+    # or (c, k) in S (k's U-panel row c). All edges point from smaller to
+    # larger chunk index, so ascending order is topological: push levels.
+    level = np.zeros(K, dtype=np.int64)
+    for c in range(K):
+        for i in rows_at[c]:
+            level[i] = max(level[i], level[c] + 1)
+        for j in cols_at[c]:
+            level[j] = max(level[j], level[c] + 1)
+    NL = int(level.max()) + 1 if K else 1
+    chunks_at = [np.nonzero(level == l)[0] for l in range(NL)]
+    BL = max((len(c) for c in chunks_at), default=1) or 1
 
-    # --- input scatter map --------------------------------------------------
+    diag_ids = np.full((NL, BL), TF, dtype=np.int32)
+    diag_cnt = np.zeros(NL, dtype=np.int32)
+    slot_of = np.zeros(K, dtype=np.int64)
+    for l in range(NL):
+        for a, k in enumerate(chunks_at[l]):
+            diag_ids[l, a] = tile_id[(int(k), int(k))]
+            slot_of[k] = a
+        diag_cnt[l] = len(chunks_at[l])
+
+    MR = max(
+        (sum(len(rows_at[k]) for k in chunks_at[l]) for l in range(NL)),
+        default=1,
+    ) or 1
+    MU = max(
+        (sum(len(cols_at[k]) for k in chunks_at[l]) for l in range(NL)),
+        default=1,
+    ) or 1
+    MS = max(
+        (sum(len(rows_at[k]) * len(cols_at[k]) for k in chunks_at[l])
+         for l in range(NL)),
+        default=1,
+    ) or 1
+    row_ids = np.full((NL, MR), TF, dtype=np.int32)
+    row_owner = np.full((NL, MR), BL, dtype=np.int32)  # BL = identity slot
+    col_ids = np.full((NL, MU), TF, dtype=np.int32)
+    col_owner = np.full((NL, MU), BL, dtype=np.int32)
+    schur = np.full((NL, MS, 3), TF, dtype=np.int32)
+    for l in range(NL):
+        a = b = s = 0
+        for k in chunks_at[l]:
+            for i in rows_at[k]:
+                row_ids[l, a] = tile_id[(i, int(k))]
+                row_owner[l, a] = slot_of[k]
+                a += 1
+            for j in cols_at[k]:
+                col_ids[l, b] = tile_id[(int(k), j)]
+                col_owner[l, b] = slot_of[k]
+                b += 1
+            for i in rows_at[k]:
+                for j in cols_at[k]:
+                    schur[l, s] = (
+                        tile_id[(i, j)],
+                        tile_id[(i, int(k))],
+                        tile_id[(int(k), j)],
+                    )
+                    s += 1
+
+    # --- input assembly map ---------------------------------------------
     # `order` is lexicographically sorted, so keys are sorted: vectorised
     # id lookup via searchsorted instead of a per-nonzero Python loop.
     sorted_keys = np.array([i * K + j for (i, j) in order], dtype=np.int64)
@@ -205,18 +264,30 @@ def build_refactor_plan(
         sorted_keys, (bi // cs) * np.int64(K) + (bj // cs)
     )
     a_dest = (t_of_nz * cs + (bi % cs)) * cs + (bj % cs)
-    a_rows = rows.astype(np.int32)
-
-    # --- padding identity ---------------------------------------------------
-    tail = n % cs
+    # identity pads appended (tail rows of the last chunk + dummy tile I):
+    # the device side scatters concat([a_data, ones]) in ONE op
     pads = []
+    tail = n % cs
     if tail:
         kd = tile_id[(K - 1, K - 1)]
         idx = np.arange(tail, cs, dtype=np.int64)
         pads.append((np.int64(kd) * cs + idx) * cs + idx)
     idx = np.arange(cs, dtype=np.int64)
     pads.append((np.int64(TF) * cs + idx) * cs + idx)
-    pad_idx = np.concatenate(pads)
+    a_dest = np.concatenate([a_dest, *pads]).astype(np.int64)
+    # block-row tile lists for the store-side row equilibration, over the
+    # PATTERN tiles only — fill tiles are all-zero before elimination
+    # (slot TF+1 is an always-zero tile: clean row-max padding)
+    browt = [[] for _ in range(K)]
+    for (i, j) in tiles:
+        browt[i].append(tile_id[(i, j)])
+    MT = max(1, max(len(r) for r in browt))
+    brow_tiles = np.full((K, MT), TF + 1, dtype=np.int32)
+    for i, r in enumerate(browt):
+        brow_tiles[i, : len(r)] = r
+    tile_brow = np.zeros(TF + 2, dtype=np.int32)
+    for (i, j), t in tile_id.items():
+        tile_brow[t] = i
 
     # --- extraction maps into the solve plans ------------------------------
     def off_src(plan: TriPlan) -> np.ndarray:
@@ -232,14 +303,19 @@ def build_refactor_plan(
         n=n,
         cs=cs,
         K=K,
+        NL=NL,
         TF=TF,
-        diag_id=diag_id,
+        diag_ids=diag_ids,
+        diag_cnt=diag_cnt,
         row_ids=row_ids,
+        row_owner=row_owner,
         col_ids=col_ids,
+        col_owner=col_owner,
         schur=schur,
         a_dest=a_dest,
-        a_rows=a_rows,
-        pad_idx=pad_idx,
+        brow_tiles=brow_tiles,
+        tile_brow=tile_brow,
+        pinv=np.argsort(p).astype(np.int32),
         l_off_src=off_src(solve_lplan),
         u_off_src=off_src(solve_uplan),
         diag_src=diag_src,
@@ -274,27 +350,30 @@ def closure_solve_plans(
 
 
 def _lu_nopivot(D: jax.Array) -> jax.Array:
-    """Dense no-pivot LU of one cs x cs tile, in place: returns merged
-    L\\U (strict lower = L, upper incl. diag = U, unit diag implicit)."""
-    cs = D.shape[0]
+    """Dense no-pivot LU of ``(..., cs, cs)`` tiles, in place: returns
+    merged L\\U (strict lower = L, upper incl. diag = U, unit diag
+    implicit). Batched: the rank-1 loop advances every tile at once."""
+    cs = D.shape[-1]
     ridx = lax.broadcasted_iota(jnp.int32, (cs, 1), 0)[:, 0]
 
     def step(i, D):
-        piv = D[i, i]
-        col = D[:, i]
+        piv = D[..., i, i][..., None]                 # (..., 1)
+        col = D[..., :, i]                            # (..., cs)
         lower = ridx > i
         l = jnp.where(lower, col / piv, 0.0)
-        urow = jnp.where((ridx > i)[None, :].reshape(1, cs), D[i, :], 0.0)
-        D = D - l[:, None] * urow
-        D = D.at[:, i].set(jnp.where(lower, l, D[:, i]))
-        return D
+        urow = jnp.where(lower, D[..., i, :], 0.0)    # cols > i of row i
+        D = D - l[..., :, None] * urow[..., None, :]
+        return D.at[..., :, i].set(jnp.where(lower, l, D[..., :, i]))
 
     return lax.fori_loop(0, cs, step, D)
 
 
 @functools.partial(jax.jit, static_argnames=("cs",))
-def _blocked_elimination(tiles, diag_id, row_ids, col_ids, schur, *, cs: int):
-    """Right-looking blocked LU over the merged tile store.
+def _blocked_elimination(tiles, diag_ids, diag_cnt, row_ids, row_owner,
+                         col_ids, col_owner, schur, *, cs: int):
+    """Right-looking blocked LU over the merged tile store, one LEVEL of
+    independent chunks per scan step (diag LU, panel solves and Schur
+    updates each batched across the level).
 
     Always full-f32 matmul passes: factorization error compounds into every
     subsequent solve, so bf16 MXU shortcuts are never acceptable here.
@@ -303,37 +382,47 @@ def _blocked_elimination(tiles, diag_id, row_ids, col_ids, schur, *, cs: int):
     from .ops.pallas_factor import lu_tile, supports_lu_tile
     from .ops.tri_inverse import tri_inverse
 
-    use_pallas_lu = supports_lu_tile(cs)
+    BL = diag_ids.shape[1]
+    use_pallas_lu = supports_lu_tile(cs, BL)
 
     def step(carry, xs):
         tiles, min_piv = carry
-        dk, rids, cids, sch = xs
-        # 1) diagonal tile: dense no-pivot LU (Pallas on TPU — the XLA
-        #    rank-1 loop costs ~25us/column; in VMEM it is sub-us)
-        if use_pallas_lu:
-            D = lu_tile(tiles[dk])
-        else:
-            D = _lu_nopivot(tiles[dk])
-        # static-pivot diagnostic: the smallest |pivot| seen anywhere
+        dks, cnt, rids, rown, cids, cown, sch = xs
+        # 1) the level's diagonal tiles: batched dense no-pivot LU
+        #    (Pallas on TPU — the XLA rank-1 loop costs ~25us/column; in
+        #    VMEM the whole batch advances per instruction)
+        D = tiles[dks]
+        D = lu_tile(D) if use_pallas_lu else _lu_nopivot(D)
+        # static-pivot diagnostic: smallest |pivot| among REAL slots
         # (UMFPACK would re-pivot here, reference src:247; we detect)
-        min_piv = jnp.minimum(min_piv, jnp.min(jnp.abs(jnp.diagonal(D))))
-        tiles = tiles.at[dk].set(D)
+        piv = jnp.min(
+            jnp.abs(jnp.diagonal(D, axis1=-2, axis2=-1)), axis=-1
+        )
+        real = lax.broadcasted_iota(jnp.int32, (BL,), 0) < cnt
+        min_piv = jnp.minimum(
+            min_piv, jnp.min(jnp.where(real, piv, jnp.inf))
+        )
+        tiles = tiles.at[dks].set(D)
         # 2/3) panels via explicit triangular inverses (batched matmuls;
-        #      triangular_solve substitutes sequentially on TPU)
-        Uinv = tri_inverse(jnp.triu(D), lower=False)
-        Linv = tri_inverse(D, lower=True, unit=True)
+        #      triangular_solve substitutes sequentially on TPU). Slot BL
+        #      holds identity for padded panel entries.
+        eye = jnp.eye(cs, dtype=tiles.dtype)[None]
+        Uinv = jnp.concatenate(
+            [tri_inverse(jnp.triu(D), lower=False), eye], axis=0
+        )
+        Linv = jnp.concatenate(
+            [tri_inverse(D, lower=True, unit=True), eye], axis=0
+        )
         # row panel: L_ik = A_ik @ U_kk^{-1}
-        Arow = tiles[rids]
         X = lax.dot_general(
-            Arow, Uinv,
-            dimension_numbers=(((2,), (0,)), ((), ())),
+            tiles[rids], Uinv[rown],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=tiles.dtype,
         )
         tiles = tiles.at[rids].set(X)
         # col panel: U_kj = L_kk^{-1} @ A_kj
-        Acol = tiles[cids]
         Y = lax.dot_general(
-            jnp.broadcast_to(Linv, Acol.shape), Acol,
+            Linv[cown], tiles[cids],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=tiles.dtype,
         )
@@ -352,23 +441,42 @@ def _blocked_elimination(tiles, diag_id, row_ids, col_ids, schur, *, cs: int):
     min_piv0 = jnp.asarray(jnp.inf, tiles.dtype)
     with jax.default_matmul_precision("highest"):
         (tiles, min_piv), _ = lax.scan(
-            step, (tiles, min_piv0), (diag_id, row_ids, col_ids, schur)
+            step, (tiles, min_piv0),
+            (diag_ids, diag_cnt, row_ids, row_owner,
+             col_ids, col_owner, schur),
         )
     return tiles, min_piv
 
 
 @functools.partial(jax.jit, static_argnames=("n", "cs", "TF"))
-def _assemble_input(a_data, a_dest, a_rows, pad_idx, *, n: int, cs: int, TF: int):
-    """Rs recompute + scatter of (Rs·A)[p, q] into the merged tile store."""
-    absd = jnp.abs(a_data)
-    rowmax = jnp.zeros((n,), a_data.dtype).at[a_rows].max(absd)
-    rs = jnp.where(rowmax > 0, 1.0 / rowmax, 1.0)
-    vals = rs[a_rows] * a_data
-    flat = jnp.zeros(((TF + 1) * cs * cs,), a_data.dtype).at[a_dest].add(
+def _assemble_input(a_data, a_dest, brow_tiles, tile_brow, pinv, *,
+                    n: int, cs: int, TF: int):
+    """Assembly of (Rs·A)[p, q] into the merged tile store + Rs recompute.
+
+    Exactly ONE irregular (per-element) op — the unscaled value scatter
+    with the identity pads appended. Per-element gathers/scatters
+    serialize on TPU at ~33ns/element; the old 3-irregular-op assemble
+    (row-max scatter, Rs gather, value scatter) was 9.5 of the fused
+    step's 10.9 ms. The row equilibration is instead derived FROM the
+    assembled store with tile-slice gathers (vectorized) and applied as a
+    broadcast multiply, mirroring UMFPACK's per-``lu!`` Rs recompute
+    (reference src:263)."""
+    npad = a_dest.shape[0] - a_data.shape[0]
+    vals = jnp.concatenate([a_data, jnp.ones((npad,), a_data.dtype)])
+    flat = jnp.zeros(((TF + 2) * cs * cs,), a_data.dtype).at[a_dest].add(
         vals, mode="drop"
     )
-    flat = flat.at[pad_idx].add(jnp.asarray(1.0, a_data.dtype))
-    tiles = flat.reshape(TF + 1, cs, cs)
+    tiles = flat.reshape(TF + 2, cs, cs)
+    # store-side equilibration: per block row, max |entry| across its
+    # tiles (slice gathers vectorize; slot TF+1 stays all-zero padding)
+    g = jnp.abs(tiles[brow_tiles])               # (K, MT, cs, cs)
+    rowmax = jnp.max(g, axis=(1, 3))             # (K, cs)
+    rs2d = jnp.where(rowmax > 0, 1.0 / rowmax, 1.0)
+    tiles = tiles * rs2d[tile_brow][:, :, None]
+    # store rows are A[p] rows: un-permute so callers get Rs in ORIGINAL
+    # row order (an n-sized gather — 33ns/element is fine at n, it was
+    # the nnz-sized irregular ops that dominated)
+    rs = rs2d.reshape(-1)[:n][pinv]
     return tiles, rs
 
 
@@ -402,11 +510,13 @@ def _refactor_pipeline(a_data, dev, *, n, cs, TF, tri_mode):
     from .ops.tri_inverse import tri_inverse
 
     tiles, rs = _assemble_input(
-        a_data, dev["a_dest"], dev["a_rows"], dev["pad_idx"],
-        n=n, cs=cs, TF=TF,
+        a_data, dev["a_dest"], dev["brow_tiles"], dev["tile_brow"],
+        dev["pinv"], n=n, cs=cs, TF=TF,
     )
     tiles, min_piv = _blocked_elimination(
-        tiles, dev["diag_id"], dev["row_ids"], dev["col_ids"], dev["schur"],
+        tiles, dev["diag_ids"], dev["diag_cnt"],
+        dev["row_ids"], dev["row_owner"],
+        dev["col_ids"], dev["col_owner"], dev["schur"],
         cs=cs,
     )
     ldiag, udiag, loff, uoff = _extract_solve_tiles(
