@@ -73,7 +73,7 @@ __all__ = [
     "pallas_fused_ldiv",
 ]
 
-PAGE = 16  # tiles per DMA page (PAGE * cs * cs * itemsize bytes per buffer)
+PAGE = 32  # tiles per DMA page (measured best on v5e: 16 -> 1.69ms, 32 -> 1.33ms, 48/64 regress on VMEM pressure; config-4 ldiv) (PAGE * cs * cs * itemsize bytes per buffer)
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom out of ~16MB
 _SMEM_BUDGET = 256 * 1024

@@ -30,6 +30,13 @@ class Timer:
             jax.block_until_ready(sync_value)
         self.records.setdefault(name, []).append(time.perf_counter() - t0)
 
+    def best(self, name: str) -> float:
+        """Min over repetitions — the least-noise estimate of true device
+        time (the same estimator the bench uses for the CPU baseline, so
+        comparisons are apples-to-apples; medians drift up to +35% under
+        transient tunnel/host load)."""
+        return float(min(self.records[name]))
+
     def median(self, name: str) -> float:
         import numpy as np
 
