@@ -11,11 +11,16 @@ BLAS, SURVEY.md C8/C9, and publishes no numbers of its own).
 ``python bench.py --all`` additionally runs configs 1-3 and 5 and writes
 the detail to BENCH_DETAIL.json. ``--config N`` runs a single config.
 
-Timing method: N solves chained INSIDE one jit (x_{i+1} = solve(x_i)) with
-a single forced sync — how a real PDE time-stepper embeds the solve, and
-the only honest timing through an RPC-tunneled device (per-dispatch
-overhead here is ~0.7 ms, several times the solve itself;
-block_until_ready does not sync through the tunnel).
+Timing method: solves chained INSIDE one jit (x_{i+1} = solve(x_i)/|..| —
+the PDE time-stepper pattern) at two chain lengths, reporting the
+TWO-POINT SLOPE (t(N2)-t(N1))/(N2-N1): the marginal steady-state cost of
+one more solve. Through this RPC-tunneled device the only real sync is a
+host pull costing a FLAT ~35 ms regardless of payload (measured;
+block_until_ready returns before the device finishes) — 20-400x the
+solve itself, identical for both chain lengths, and cancelled exactly by
+the slope. On directly-attached hardware the slope converges to ordinary
+per-solve timing. The two chains' reps are interleaved so drift cannot
+masquerade as slope.
 """
 
 import argparse
@@ -26,34 +31,67 @@ import time
 import numpy as np
 import scipy.sparse.linalg as spla
 
-N_CHAIN = 32
+N1_CHAIN = 64
+N2_CHAIN = 512
+N3_CHAIN = 4096  # escalation length when the solve is too fast for N2
+MIN_SIGNAL = 15e-3  # seconds of slope signal required vs ~1 ms pull noise
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _chain_time(exe_args_fn, b, reps=5, name="solve"):
-    """Best seconds per solve, N_CHAIN solves chained inside one jit."""
+def _slope_time(make_chain, reps=5):
+    """Marginal seconds/iteration: interleaved two-point slope with
+    automatic escalation when the iteration is too fast to resolve."""
     import jax
-    from jax import lax
 
-    from tpu_sparse_lu.utils.profiling import Timer
+    def timed(c, x0):
+        t0 = time.perf_counter()
+        np.asarray(jax.tree.leaves(c(x0))[0])
+        return time.perf_counter() - t0
+
+    c1, x1 = make_chain(N1_CHAIN)
+    c2, x2 = make_chain(N2_CHAIN)
+    timed(c1, x1)  # compile + warmup
+    timed(c2, x2)
+    t1s, t2s = [], []
+    for _ in range(reps):  # interleave so drift cannot masquerade as slope
+        t1s.append(timed(c1, x1))
+        t2s.append(timed(c2, x2))
+    t1, t2 = min(t1s), min(t2s)
+    if t2 - t1 >= MIN_SIGNAL:
+        return (t2 - t1) / (N2_CHAIN - N1_CHAIN)
+    c3, x3 = make_chain(N3_CHAIN)
+    timed(c3, x3)
+    t3s = [timed(c3, x3) for _ in range(reps)]
+    return max((min(t3s) - t1) / (N3_CHAIN - N1_CHAIN), 0.0)
+
+
+def _chain_time(exe_args_fn, b, reps=5, name="solve"):
+    """Marginal steady-state seconds per solve (see module docstring).
+
+    Each iteration renormalizes by max|x| — keeps 4096-deep chains
+    finite (A^-1 applied repeatedly overflows f32 within ~12 steps) and
+    keeps every iteration live against while-loop LICM. The extra two
+    vector ops are billed to us, not the baseline.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
 
     f, args = exe_args_fn
 
-    @jax.jit
-    def chain(b, *args):
-        return lax.fori_loop(0, N_CHAIN, lambda i, v: f(v, *args), b)
+    def make_chain(N):
+        @jax.jit
+        def chain(b):
+            def body(i, v):
+                w = f(v, *args)
+                return w / (jnp.max(jnp.abs(w)) + 1e-30)
+            return lax.fori_loop(0, N, body, b)
+        return chain, b
 
-    np.asarray(chain(b, *args))  # compile + warmup
-    timer = Timer()
-    for _ in range(reps):
-        with timer.time(name):
-            np.asarray(chain(b, *args))
-    # min, matching the scipy baseline's estimator (median drifts
-    # up to +35% under transient load through the axon tunnel)
-    return timer.best(name) / N_CHAIN
+    return _slope_time(make_chain, reps=reps)
 
 
 def _ldiv_fn(F):
@@ -185,23 +223,22 @@ def bench_config(cfg_id: int) -> dict:
         data0 = jnp.asarray(A.data, dtype=jnp.float32)
         b = jnp.asarray(rng.random((A.shape[0], 8)), dtype=jnp.float32)
 
-        @jax.jit
-        def chain(a, b):
-            # feed the solution back as the next RHS, and perturb the matrix
-            # values by the carry so the refactorization is loop-variant —
-            # XLA's while-loop LICM would otherwise hoist a loop-invariant
-            # refactorization out of the body and time only the solves
-            return lax.fori_loop(
-                0, N_CHAIN, lambda i, v: step(a * (1 + 1e-6 * v[0, 0]), v), b
-            )
+        def make_chain(N):
+            @jax.jit
+            def chain(b):
+                # feed the solution back as the next RHS (renormalized so
+                # deep chains stay finite), and perturb the matrix values
+                # by the carry so the refactorization is loop-variant —
+                # XLA's while-loop LICM would otherwise hoist a
+                # loop-invariant refactorization out of the body and time
+                # only the solves
+                def body(i, v):
+                    w = step(data0 * (1 + 1e-6 * v[0, 0]), v)
+                    return w / (jnp.max(jnp.abs(w)) + 1e-30)
+                return lax.fori_loop(0, N, body, b)
+            return chain, b
 
-        np.asarray(chain(data0, b))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            np.asarray(chain(data0, b))
-            ts.append((time.perf_counter() - t0) / N_CHAIN)
-        t = float(np.min(ts))
+        t = _slope_time(make_chain)
         # scipy baseline: full splu factorization (it has no numeric-only path)
         ts_b = []
         for _ in range(5):
