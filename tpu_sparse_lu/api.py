@@ -643,10 +643,15 @@ class ParallelSparseLU:
         # pipeline takes these as device-resident arguments)
         rp = self._refactor_plan
         self._refactor_dev = {
-            "a_dest": jnp.asarray(rp.a_dest),
-            "brow_tiles": jnp.asarray(rp.brow_tiles),
-            "tile_brow": jnp.asarray(rp.tile_brow),
-            "pinv": jnp.asarray(rp.pinv),
+            "win_src": jnp.asarray(rp.win.win_src),
+            "win_dst": jnp.asarray(rp.win.win_dst),
+            "win_mask": jnp.asarray(rp.win.win_mask),
+            "left_src": jnp.asarray(rp.win.left_src),
+            "left_dst": jnp.asarray(rp.win.left_dst),
+            "brow2_tiles": jnp.asarray(rp.win.brow2_tiles),
+            "tile_brow2": jnp.asarray(rp.win.tile_brow2),
+            "permrow_src": jnp.asarray(rp.win.permrow_src),
+            "pad_dest": jnp.asarray(rp.win.pad_dest),
             "diag_ids": jnp.asarray(rp.diag_ids),
             "diag_cnt": jnp.asarray(rp.diag_cnt),
             "row_ids": jnp.asarray(rp.row_ids),
@@ -657,6 +662,7 @@ class ParallelSparseLU:
             "diag_src": jnp.asarray(rp.diag_src),
             "l_off_src": jnp.asarray(rp.l_off_src),
             "u_off_src": jnp.asarray(rp.u_off_src),
+            "diag_lvlslot": jnp.asarray(rp.diag_lvlslot),
         }
         self._prepare_device()
 
@@ -752,7 +758,8 @@ class ParallelSparseLU:
                     ).astype(self.dtype)
                 out = _refactor_pipeline(
                     a_data, dev,
-                    n=rp.n, cs=rp.cs, TF=rp.TF, tri_mode=mode,
+                    n=rp.n, cs=rp.cs, TF=rp.TF, TF2=rp.win.TF2,
+                    W=rp.win.W, R1=rp.win.R1, Np=rp.win.Np, tri_mode=mode,
                 )
                 rs = out["rs"]
                 if ext is not None:

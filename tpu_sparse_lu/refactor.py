@@ -42,6 +42,7 @@ import numpy as np
 import scipy.sparse as sp
 from jax import lax
 
+from .assemble import WindowPlan, assemble_windowed, plan_windowed_assembly
 from .solve import TriKernelData  # noqa: F401  (re-exported for callers)
 from .symbolic import TriPlan, plan_triangular
 
@@ -126,20 +127,19 @@ class RefactorPlan:
     col_ids: np.ndarray      # (NL, MU) merged ids of U-panel tiles (k, j)
     col_owner: np.ndarray    # (NL, MU)
     schur: np.ndarray        # (NL, MS, 3) (dst, l_tile, u_tile) merged ids
-    # input assembly: irregular (per-element) gathers/scatters serialize
-    # on TPU at ~33ns/element — the old per-nonzero row-max + Rs gather +
-    # value scatter cost 9.5 of the step's 10.9 ms. The schedule keeps
-    # exactly ONE irregular op (the value scatter, unscaled, with the
-    # identity pads appended) and derives the row equilibration FROM the
-    # assembled store via tile-slice gathers, which vectorize.
-    a_dest: np.ndarray       # (nnzA + npad,) flat store destinations
-    brow_tiles: np.ndarray   # (K, MT) tile ids per block row (pad = TF+1)
-    tile_brow: np.ndarray    # (TF+2,) block row of each tile (dummy = 0)
-    pinv: np.ndarray         # (n,) store row of each original row
+    # input assembly: windowed scatter + row-permutation gather schedule
+    # (see assemble.py — replaces the flat per-element scatter, which at
+    # ~4.8 ns/element was the dominant cost of the fused step)
+    win: "WindowPlan"
     # extraction maps into the solve plans (built on the same closure)
     l_off_src: np.ndarray    # (TL+1,) merged id per L-solve offdiag tile
     u_off_src: np.ndarray    # (TU+1,) merged id per U-solve offdiag tile
     diag_src: np.ndarray     # (K+1,) merged id per chunk's diagonal tile
+    # (K+1,) flattened (level*BL + slot) of each chunk's diag in the
+    # elimination schedule; entry K = NL*BL (identity pad). Lets the
+    # pipeline REUSE the per-level panel inverses the elimination already
+    # computed instead of re-inverting every diagonal tile afterwards.
+    diag_lvlslot: np.ndarray
 
 
 def _tile_pattern_of_permuted(
@@ -256,16 +256,9 @@ def build_refactor_plan(
                     )
                     s += 1
 
-    # --- input assembly map ---------------------------------------------
-    # `order` is lexicographically sorted, so keys are sorted: vectorised
-    # id lookup via searchsorted instead of a per-nonzero Python loop.
-    sorted_keys = np.array([i * K + j for (i, j) in order], dtype=np.int64)
-    t_of_nz = np.searchsorted(
-        sorted_keys, (bi // cs) * np.int64(K) + (bj // cs)
-    )
-    a_dest = (t_of_nz * cs + (bi % cs)) * cs + (bj % cs)
-    # identity pads appended (tail rows of the last chunk + dummy tile I):
-    # the device side scatters concat([a_data, ones]) in ONE op
+    # --- input assembly (windowed scatter + perm-gather, assemble.py) ------
+    # identity pads: tail rows of the last chunk + dummy-tile diagonal,
+    # as flat positions in the FINAL permuted store
     pads = []
     tail = n % cs
     if tail:
@@ -274,20 +267,9 @@ def build_refactor_plan(
         pads.append((np.int64(kd) * cs + idx) * cs + idx)
     idx = np.arange(cs, dtype=np.int64)
     pads.append((np.int64(TF) * cs + idx) * cs + idx)
-    a_dest = np.concatenate([a_dest, *pads]).astype(np.int64)
-    # block-row tile lists for the store-side row equilibration, over the
-    # PATTERN tiles only — fill tiles are all-zero before elimination
-    # (slot TF+1 is an always-zero tile: clean row-max padding)
-    browt = [[] for _ in range(K)]
-    for (i, j) in tiles:
-        browt[i].append(tile_id[(i, j)])
-    MT = max(1, max(len(r) for r in browt))
-    brow_tiles = np.full((K, MT), TF + 1, dtype=np.int32)
-    for i, r in enumerate(browt):
-        brow_tiles[i, : len(r)] = r
-    tile_brow = np.zeros(TF + 2, dtype=np.int32)
-    for (i, j), t in tile_id.items():
-        tile_brow[t] = i
+    win = plan_windowed_assembly(
+        A_pattern, p, q, cs, order, TF, np.concatenate(pads)
+    )
 
     # --- extraction maps into the solve plans ------------------------------
     def off_src(plan: TriPlan) -> np.ndarray:
@@ -298,6 +280,10 @@ def build_refactor_plan(
 
     diag_src = np.array(
         [tile_id[(k, k)] for k in range(K)] + [TF], dtype=np.int32
+    )
+    diag_lvlslot = np.array(
+        [int(level[k]) * BL + int(slot_of[k]) for k in range(K)] + [NL * BL],
+        dtype=np.int32,
     )
     return RefactorPlan(
         n=n,
@@ -312,13 +298,11 @@ def build_refactor_plan(
         col_ids=col_ids,
         col_owner=col_owner,
         schur=schur,
-        a_dest=a_dest,
-        brow_tiles=brow_tiles,
-        tile_brow=tile_brow,
-        pinv=np.argsort(p).astype(np.int32),
+        win=win,
         l_off_src=off_src(solve_lplan),
         u_off_src=off_src(solve_uplan),
         diag_src=diag_src,
+        diag_lvlslot=diag_lvlslot,
     )
 
 
@@ -404,15 +388,24 @@ def _blocked_elimination(tiles, diag_ids, diag_cnt, row_ids, row_owner,
         )
         tiles = tiles.at[dks].set(D)
         # 2/3) panels via explicit triangular inverses (batched matmuls;
-        #      triangular_solve substitutes sequentially on TPU). Slot BL
-        #      holds identity for padded panel entries.
-        eye = jnp.eye(cs, dtype=tiles.dtype)[None]
-        Uinv = jnp.concatenate(
-            [tri_inverse(jnp.triu(D), lower=False), eye], axis=0
+        #      triangular_solve substitutes sequentially on TPU). The two
+        #      inverses run as ONE batched call: reversing both axes of an
+        #      upper-triangular tile gives a lower-triangular one, and
+        #      inv(J U J) = J inv(U) J for the reversal J — so the upper
+        #      inverse is the flip of a lower inverse of the flip. Halving
+        #      the op count matters because per-op dispatch, not FLOPs,
+        #      dominates at small level widths. Slot BL holds identity for
+        #      padded panel entries.
+        eye1 = jnp.eye(cs, dtype=tiles.dtype)[None]
+        Dl = jnp.tril(D, -1) + eye1
+        Du_rev = jnp.flip(jnp.triu(D), (-2, -1))
+        inv2 = tri_inverse(
+            jnp.concatenate([Dl, Du_rev], axis=0), lower=True
         )
-        Linv = jnp.concatenate(
-            [tri_inverse(D, lower=True, unit=True), eye], axis=0
-        )
+        Linv_b = inv2[:BL]
+        Uinv_b = jnp.flip(inv2[BL:], (-2, -1))
+        Uinv = jnp.concatenate([Uinv_b, eye1], axis=0)
+        Linv = jnp.concatenate([Linv_b, eye1], axis=0)
         # row panel: L_ik = A_ik @ U_kk^{-1}
         X = lax.dot_general(
             tiles[rids], Uinv[rown],
@@ -436,51 +429,17 @@ def _blocked_elimination(tiles, diag_ids, diag_cnt, row_ids, row_owner,
             preferred_element_type=tiles.dtype,
         )
         tiles = tiles.at[dst].add(-prod)
-        return (tiles, min_piv), None
+        return (tiles, min_piv), (Linv_b, Uinv_b)
 
     min_piv0 = jnp.asarray(jnp.inf, tiles.dtype)
     with jax.default_matmul_precision("highest"):
-        (tiles, min_piv), _ = lax.scan(
+        (tiles, min_piv), (linv_lv, uinv_lv) = lax.scan(
             step, (tiles, min_piv0),
             (diag_ids, diag_cnt, row_ids, row_owner,
              col_ids, col_owner, schur),
         )
-    return tiles, min_piv
-
-
-@functools.partial(jax.jit, static_argnames=("n", "cs", "TF"))
-def _assemble_input(a_data, a_dest, brow_tiles, tile_brow, pinv, *,
-                    n: int, cs: int, TF: int):
-    """Assembly of (Rs·A)[p, q] into the merged tile store + Rs recompute.
-
-    Exactly ONE irregular (per-element) op — the unscaled value scatter
-    with the identity pads appended. Per-element gathers/scatters
-    serialize on TPU at ~33ns/element; the old 3-irregular-op assemble
-    (row-max scatter, Rs gather, value scatter) was 9.5 of the fused
-    step's 10.9 ms. The row equilibration is instead derived FROM the
-    assembled store with tile-slice gathers (vectorized) and applied as a
-    broadcast multiply, mirroring UMFPACK's per-``lu!`` Rs recompute
-    (reference src:263)."""
-    npad = a_dest.shape[0] - a_data.shape[0]
-    vals = jnp.concatenate([a_data, jnp.ones((npad,), a_data.dtype)])
-    # destinations are unique (one store slot per nonzero): scatter-SET
-    # with unique_indices lowers ~28% faster than scatter-add on v5e
-    # (measured, slope-timed; sortedness made no further difference)
-    flat = jnp.zeros(((TF + 2) * cs * cs,), a_data.dtype).at[a_dest].set(
-        vals, mode="drop", unique_indices=True
-    )
-    tiles = flat.reshape(TF + 2, cs, cs)
-    # store-side equilibration: per block row, max |entry| across its
-    # tiles (slice gathers vectorize; slot TF+1 stays all-zero padding)
-    g = jnp.abs(tiles[brow_tiles])               # (K, MT, cs, cs)
-    rowmax = jnp.max(g, axis=(1, 3))             # (K, cs)
-    rs2d = jnp.where(rowmax > 0, 1.0 / rowmax, 1.0)
-    tiles = tiles * rs2d[tile_brow][:, :, None]
-    # store rows are A[p] rows: un-permute so callers get Rs in ORIGINAL
-    # row order (an n-sized gather — 33ns/element is fine at n, it was
-    # the nnz-sized irregular ops that dominated)
-    rs = rs2d.reshape(-1)[:n][pinv]
-    return tiles, rs
+    # (NL, BL, cs, cs) per-level diagonal inverses, for reuse downstream
+    return tiles, min_piv, linv_lv, uinv_lv
 
 
 @functools.partial(jax.jit, static_argnames=("cs",))
@@ -502,21 +461,18 @@ def _extract_solve_tiles(tiles, diag_src, l_off_src, u_off_src, *, cs: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "cs", "TF", "tri_mode"),
+    static_argnames=("n", "cs", "TF", "TF2", "W", "R1", "Np", "tri_mode"),
 )
-def _refactor_pipeline(a_data, dev, *, n, cs, TF, tri_mode):
+def _refactor_pipeline(a_data, dev, *, n, cs, TF, TF2, W, R1, Np, tri_mode):
     """The WHOLE numeric refactorization as one program: assemble →
     blocked elimination → solve-tile extraction → tile inverses. One
     dispatch per refactorization — through an RPC-tunneled device, eager
     per-op round-trips (~0.7-3 ms each) would otherwise dominate the
     numeric work many times over (measured)."""
-    from .ops.tri_inverse import tri_inverse
-
-    tiles, rs = _assemble_input(
-        a_data, dev["a_dest"], dev["brow_tiles"], dev["tile_brow"],
-        dev["pinv"], n=n, cs=cs, TF=TF,
+    tiles, rs = assemble_windowed(
+        a_data, dev, n=n, cs=cs, TF=TF, TF2=TF2, W=W, R1=R1, Np=Np,
     )
-    tiles, min_piv = _blocked_elimination(
+    tiles, min_piv, linv_lv, uinv_lv = _blocked_elimination(
         tiles, dev["diag_ids"], dev["diag_cnt"],
         dev["row_ids"], dev["row_owner"],
         dev["col_ids"], dev["col_owner"], dev["schur"],
@@ -534,9 +490,16 @@ def _refactor_pipeline(a_data, dev, *, n, cs, TF, tri_mode):
     out = {"ldiag": ldiag, "udiag": udiag, "loff": loff, "uoff": uoff,
            "rs": rs, "min_pivot": min_piv, "growth": growth}
     if tri_mode in ("inv", "inv_refine"):
-        with jax.default_matmul_precision("highest"):
-            out["ldiag_inv"] = tri_inverse(ldiag, lower=True)
-            out["udiag_inv"] = tri_inverse(udiag, lower=False)
+        # the elimination already inverted every diagonal tile for its
+        # panel solves — gather those per-level inverses into the solve
+        # layout instead of re-inverting K+1 tiles (saved ~0.3 ms/step on
+        # BASELINE config 2, measured)
+        eye = jnp.eye(cs, dtype=tiles.dtype)[None]
+        ls = dev["diag_lvlslot"]
+        linv_f = jnp.concatenate([linv_lv.reshape(-1, cs, cs), eye])
+        uinv_f = jnp.concatenate([uinv_lv.reshape(-1, cs, cs), eye])
+        out["ldiag_inv"] = linv_f[ls]
+        out["udiag_inv"] = uinv_f[ls]
     return out
 
 
@@ -549,7 +512,8 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
 
     out = _refactor_pipeline(
         jnp.asarray(a_data, dtype=F.dtype), dev,
-        n=rp.n, cs=rp.cs, TF=rp.TF, tri_mode=mode,
+        n=rp.n, cs=rp.cs, TF=rp.TF, TF2=rp.win.TF2, W=rp.win.W,
+        R1=rp.win.R1, Np=rp.win.Np, tri_mode=mode,
     )
 
     def kern(plan, diag, off, dinv):
