@@ -197,3 +197,60 @@ def test_fused_step_in_step_refinement(rng):
     # fp32: one refinement sweep must tighten the solution materially
     assert e1 <= e0
     assert e1 < 1e-4 * np.linalg.norm(x_exact)
+
+
+@pytest.mark.parametrize(
+    "make,cs",
+    [
+        (lambda rng: block_banded(rng, 12, 10), 16),
+        (lambda rng: poisson_2d(20, 20), 32),
+        (lambda rng: sp.random(300, 300, density=0.02, random_state=7,
+                               format="csc") + 10 * sp.eye(300, format="csc"),
+         32),
+    ],
+)
+def test_windowed_assembly_matches_dense_reference(rng, make, cs):
+    """assemble.py's windowed scatter + permutation gather must place
+    every value of (Rs*A)[p, q] exactly where the flat per-element
+    scatter used to (including run edges, collisions -> leftovers, and
+    the identity pads), with Rs in original row order."""
+    import jax.numpy as jnp
+
+    from tpu_sparse_lu.assemble import assemble_windowed
+    from tpu_sparse_lu.refactor import _tile_pattern_of_permuted, blocked_fill
+
+    A = sp.csc_matrix(make(rng))
+    F = ParallelSparseLU(A, config=SolverConfig(chunk_size=cs))
+    F.enable_device_refactor()
+    rp, w = F._refactor_plan, F._refactor_plan.win
+    dev = F._refactor_dev
+    n, K, TF = rp.n, rp.K, rp.TF
+
+    a_data = jnp.asarray(A.data, dtype=jnp.float32)
+    tiles, rs = assemble_windowed(
+        a_data, dev, n=n, cs=cs, TF=TF, TF2=w.TF2, W=w.W, R1=w.R1, Np=w.Np
+    )
+    tiles, rs = np.asarray(tiles), np.asarray(rs)
+
+    # dense reference: equilibrate rows of A, permute, pad identity tail
+    Ad = A.toarray()
+    rowmax = np.abs(Ad).max(axis=1)
+    rs_ref = np.where(rowmax > 0, 1.0 / rowmax, 1.0)
+    assert_isapprox(rs, rs_ref.astype(np.float32), rtol=1e-6, atol=1e-6)
+    p, q = F._factors.p, F._factors.q
+    B = (rs_ref[:, None] * Ad)[np.ix_(p, q)]
+    Bp = np.zeros((K * cs, K * cs))
+    Bp[:n, :n] = B
+    np.fill_diagonal(Bp[n:, n:], 1.0)
+
+    pattern, _, _, _, _ = _tile_pattern_of_permuted(
+        sp.csc_matrix((np.ones(A.nnz), A.indices, A.indptr), shape=A.shape),
+        p, q, cs)
+    order = sorted(blocked_fill(pattern, K))
+    for t, (bi, tj) in enumerate(order):
+        ref = Bp[bi * cs:(bi + 1) * cs, tj * cs:(tj + 1) * cs]
+        assert_isapprox(tiles[t], ref.astype(np.float32),
+                        rtol=1e-6, atol=1e-6)
+    assert_isapprox(tiles[TF], np.eye(cs, dtype=np.float32),
+                    rtol=0, atol=0)
+    assert not tiles[TF + 1].any()
