@@ -637,7 +637,9 @@ class ParallelSparseLU:
         self.plan.uplan = uplan
         self._jit_cache.clear()
         self._refactor_plan = build_refactor_plan(
-            A_pat, self._factors.p, self._factors.q, self.plan.cs, lplan, uplan
+            A_pat, self._factors.p, self._factors.q, self.plan.cs,
+            lplan, uplan,
+            data_src=None if self._ext is None else self._ext["data_src"],
         )
         # one-time upload of the static schedule (the fused refactor
         # pipeline takes these as device-resident arguments)
@@ -648,6 +650,7 @@ class ParallelSparseLU:
             "win_mask": jnp.asarray(rp.win.win_mask),
             "left_src": jnp.asarray(rp.win.left_src),
             "left_dst": jnp.asarray(rp.win.left_dst),
+            "ones_dst": jnp.asarray(rp.win.ones_dst),
             "brow2_tiles": jnp.asarray(rp.win.brow2_tiles),
             "tile_brow2": jnp.asarray(rp.win.tile_brow2),
             "permrow_src": jnp.asarray(rp.win.permrow_src),
@@ -735,7 +738,6 @@ class ParallelSparseLU:
 
         n_in, K_in = self._n_orig, self._K_in
         ext = self._ext
-        ext_ds = None if ext is None else jnp.asarray(ext["data_src"])
         ext_pos = None if ext is None else jnp.asarray(ext["pos"])
 
         @jax.jit
@@ -748,14 +750,10 @@ class ParallelSparseLU:
                     supports_fused_ldiv,
                 )
 
-                a_orig = a_data.astype(self.dtype)
-                a_data = a_orig
-                if ext is not None:
-                    # map original values into the nd embedding (device
-                    # gather; pass factor-space values to skip it)
-                    a_data = jnp.where(
-                        ext_ds >= 0, a_data[jnp.maximum(ext_ds, 0)], 1.0
-                    ).astype(self.dtype)
+                # the nd embedding's value mapping is folded into the
+                # windowed-assembly schedule (assemble.py data_src), so
+                # original CSC values go straight into the pipeline
+                a_orig = a_data = a_data.astype(self.dtype)
                 out = _refactor_pipeline(
                     a_data, dev,
                     n=rp.n, cs=rp.cs, TF=rp.TF, TF2=rp.win.TF2,

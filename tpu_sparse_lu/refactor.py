@@ -167,6 +167,7 @@ def build_refactor_plan(
     cs: int,
     solve_lplan: TriPlan,
     solve_uplan: TriPlan,
+    data_src: np.ndarray | None = None,
 ) -> RefactorPlan:
     """Build the static refactorization schedule.
 
@@ -268,7 +269,8 @@ def build_refactor_plan(
     idx = np.arange(cs, dtype=np.int64)
     pads.append((np.int64(TF) * cs + idx) * cs + idx)
     win = plan_windowed_assembly(
-        A_pattern, p, q, cs, order, TF, np.concatenate(pads)
+        A_pattern, p, q, cs, order, TF, np.concatenate(pads),
+        data_src=data_src,
     )
 
     # --- extraction maps into the solve plans ------------------------------
@@ -596,8 +598,9 @@ def refactor_same_pattern(F, A: sp.csc_matrix, *, check: bool = False,
             "matrix this factorization was built from; use refactor() for "
             "pattern changes (reference src:265-273 reallocate path)"
         )
-    data = A.data if F._ext is None else F._ext_values(A)
-    refactor_numeric_values(F, data)
+    # nd-extension value mapping is folded into the windowed assembly
+    # schedule (assemble.py data_src), so original values go straight in
+    refactor_numeric_values(F, A.data)
     if F._ext is not None:
         F._a_data_dev = jnp.asarray(A.data, dtype=F.dtype)
         F._spmv_dirty = True
