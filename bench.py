@@ -250,6 +250,12 @@ def bench_config(cfg_id: int) -> dict:
         nnz = F.L.nnz + F.U.nnz
         return dict(config="refactor_same_pattern", n=A.shape[0], nnz_lu=nnz,
                     t_ours=t, t_scipy=t_base,
+                    baseline_note=(
+                        "scipy has no numeric-only refactorization, so the "
+                        "baseline is a FULL splu (symbolic + numeric); a "
+                        "UMFPACK lu! reusing symbolic analysis would be "
+                        "faster, inflating this ratio somewhat"
+                    ),
                     nnz_per_s=nnz / t, vs_baseline=t_base / t)
 
     if cfg_id == 3:
