@@ -223,6 +223,16 @@ def bench_config(cfg_id: int) -> dict:
         step = F.make_refactor_solve_step()
         data0 = jnp.asarray(A.data, dtype=jnp.float32)
         b = jnp.asarray(rng.random((A.shape[0], 8)), dtype=jnp.float32)
+        # accuracy gate on the step itself: refactorize with perturbed
+        # values and check the solve against scipy on that exact matrix
+        A_chk = A.copy()
+        A_chk.data = A_chk.data * 1.01
+        x_chk = np.asarray(step(jnp.asarray(A_chk.data, jnp.float32), b))
+        bn = np.asarray(b)
+        r = np.linalg.norm(A_chk @ x_chk - bn) / (
+            spla.norm(A_chk) * np.linalg.norm(x_chk) + np.linalg.norm(bn)
+        )
+        assert r < 1e-3, f"fused step inaccurate: backward error {r}"
 
         def make_chain(N):
             @jax.jit
@@ -249,7 +259,7 @@ def bench_config(cfg_id: int) -> dict:
         t_base = float(np.min(ts_b))
         nnz = F.L.nnz + F.U.nnz
         return dict(config="refactor_same_pattern", n=A.shape[0], nnz_lu=nnz,
-                    t_ours=t, t_scipy=t_base,
+                    t_ours=t, t_scipy=t_base, resid=float(r),
                     baseline_note=(
                         "scipy has no numeric-only refactorization, so the "
                         "baseline is a FULL splu (symbolic + numeric); a "
