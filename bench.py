@@ -31,67 +31,19 @@ import time
 import numpy as np
 import scipy.sparse.linalg as spla
 
-N1_CHAIN = 64
-N2_CHAIN = 512
-N3_CHAIN = 4096  # escalation length when the solve is too fast for N2
-MIN_SIGNAL = 15e-3  # seconds of slope signal required vs ~1 ms pull noise
+from tpu_sparse_lu.utils.profiling import (  # noqa: F401 (re-exported)
+    slope_time as _slope_time,
+)
+from tpu_sparse_lu.utils.profiling import chain_time
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _slope_time(make_chain, reps=5):
-    """Marginal seconds/iteration: interleaved two-point slope with
-    automatic escalation when the iteration is too fast to resolve."""
-    import jax
-
-    def timed(c, x0):
-        t0 = time.perf_counter()
-        np.asarray(jax.tree.leaves(c(x0))[0])
-        return time.perf_counter() - t0
-
-    c1, x1 = make_chain(N1_CHAIN)
-    c2, x2 = make_chain(N2_CHAIN)
-    timed(c1, x1)  # compile + warmup
-    timed(c2, x2)
-    t1s, t2s = [], []
-    for _ in range(reps):  # interleave so drift cannot masquerade as slope
-        t1s.append(timed(c1, x1))
-        t2s.append(timed(c2, x2))
-    t1, t2 = min(t1s), min(t2s)
-    if t2 - t1 >= MIN_SIGNAL:
-        return (t2 - t1) / (N2_CHAIN - N1_CHAIN)
-    c3, x3 = make_chain(N3_CHAIN)
-    timed(c3, x3)
-    t3s = [timed(c3, x3) for _ in range(reps)]
-    return max((min(t3s) - t1) / (N3_CHAIN - N1_CHAIN), 0.0)
-
-
 def _chain_time(exe_args_fn, b, reps=5, name="solve"):
-    """Marginal steady-state seconds per solve (see module docstring).
-
-    Each iteration renormalizes by max|x| — keeps 4096-deep chains
-    finite (A^-1 applied repeatedly overflows f32 within ~12 steps) and
-    keeps every iteration live against while-loop LICM. The extra two
-    vector ops are billed to us, not the baseline.
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    f, args = exe_args_fn
-
-    def make_chain(N):
-        @jax.jit
-        def chain(b):
-            def body(i, v):
-                w = f(v, *args)
-                return w / (jnp.max(jnp.abs(w)) + 1e-30)
-            return lax.fori_loop(0, N, body, b)
-        return chain, b
-
-    return _slope_time(make_chain, reps=reps)
+    """Marginal steady-state seconds per solve (utils/profiling.py)."""
+    return chain_time(exe_args_fn, b, reps=reps)
 
 
 def _ldiv_fn(F):
