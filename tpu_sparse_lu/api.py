@@ -633,6 +633,23 @@ class ParallelSparseLU:
             A_pat, self._factors.L, self._factors.U,
             self._factors.p, self._factors.q, self.plan.cs,
         )
+        # the merged tile store materializes the blocked elimination
+        # closure as dense tiles; refuse clearly when that would not fit
+        # on the device (e.g. nd-ordered 2D problems at n ~ 1e5 close to
+        # a near-dense tile grid). The host `refactor()` path remains.
+        itemsize = 4 if self.dtype == jnp.float32 else 8
+        store_tiles = lplan.T + uplan.T + (-(-A_pat.shape[0] // self.plan.cs))
+        store_bytes = 4 * store_tiles * self.plan.cs ** 2 * itemsize
+        limit = 6 * 1024**3
+        if store_bytes > limit:
+            raise RuntimeError(
+                "device refactorization needs a working set of "
+                f"~{store_bytes / 1e9:.1f} GB (dense tile store of the "
+                "elimination closure + solve extraction), above the "
+                f"supported budget ({limit / 1e9:.1f} GB). Use the host "
+                "refactor() path, a smaller chunk_size, or "
+                "ordering='colamd' for this matrix."
+            )
         self.plan.lplan = lplan
         self.plan.uplan = uplan
         self._jit_cache.clear()
@@ -654,7 +671,8 @@ class ParallelSparseLU:
             "brow2_tiles": jnp.asarray(rp.win.brow2_tiles),
             "tile_brow2": jnp.asarray(rp.win.tile_brow2),
             "permrow_src": jnp.asarray(rp.win.permrow_src),
-            "pad_dest": jnp.asarray(rp.win.pad_dest),
+            "pad_row": jnp.asarray(rp.win.pad_row),
+            "pad_col": jnp.asarray(rp.win.pad_col),
             "diag_ids": jnp.asarray(rp.diag_ids),
             "diag_cnt": jnp.asarray(rp.diag_cnt),
             "row_ids": jnp.asarray(rp.row_ids),

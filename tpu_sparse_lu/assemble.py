@@ -80,7 +80,11 @@ class WindowPlan:
     brow2_tiles: np.ndarray  # (K, MT2) tile ids per block row (pad = TF2)
     tile_brow2: np.ndarray   # (TF2+1,) block row of each tile
     permrow_src: np.ndarray  # ((TF+2)*cs,) row-permutation gather map
-    pad_dest: np.ndarray     # identity-one positions in the final store
+    # identity-one positions in the final store, as (row, col) pairs into
+    # the ((TF+2)*cs, cs) row view — flat positions can exceed int32 (the
+    # closure store has TF*cs^2 slots), row/col never do
+    pad_row: np.ndarray
+    pad_col: np.ndarray
 
 
 def plan_windowed_assembly(
@@ -180,10 +184,13 @@ def plan_windowed_assembly(
     win_mask = ((ar >= lo_s) & (ar < hi_s)).astype(np.float32)
 
     # leftovers: elements whose run lost its dest row to a longer run
+    # (index dtype: the unpermuted store has (TF2+1)*cs^2 slots, which
+    # can exceed int32 at large n)
+    idt = np.int64 if (TF2 + 1) * cs * cs >= 2**31 else np.int32
     pos = np.searchsorted(win_wrow, destT // W)
     covered = rid == win_run[pos]
     left_src = src[~covered].astype(np.int32)
-    left_dst = destT[~covered].astype(np.int32)
+    left_dst = destT[~covered].astype(idt)
 
     # --- equilibration maps (unpermuted grid) ------------------------------
     browt: list = [[] for _ in range(K)]
@@ -219,15 +226,16 @@ def plan_windowed_assembly(
     return WindowPlan(
         W=W, TF2=TF2, R1=R1, Np=Np,
         win_src=win_src,
-        win_dst=win_wrow.astype(np.int32),
+        win_dst=win_wrow.astype(idt),
         win_mask=win_mask,
         left_src=left_src,
         left_dst=left_dst,
-        ones_dst=ones_dst.astype(np.int32),
+        ones_dst=ones_dst.astype(idt),
         brow2_tiles=brow2_tiles,
         tile_brow2=tile_brow2,
         permrow_src=permrow_src,
-        pad_dest=np.asarray(n_pad_tail, dtype=np.int32),
+        pad_row=(np.asarray(n_pad_tail) // cs).astype(np.int32),
+        pad_col=(np.asarray(n_pad_tail) % cs).astype(np.int32),
     )
 
 
@@ -275,9 +283,10 @@ def assemble_windowed(a_data, dev, *, n: int, cs: int, TF: int,
     # transpose back + apply the row permutation as a static row gather
     rows2 = jnp.swapaxes(t2, -1, -2).reshape((TF2 + 1) * cs, cs)
     rowsP = jnp.take(rows2, dev["permrow_src"], axis=0, mode="clip")
-    flat = rowsP.reshape(-1)
-    pad = dev["pad_dest"]
-    flat = flat.at[pad].set(
-        jnp.ones(pad.shape, dt), mode="drop", unique_indices=True
+    # identity pads via 2-D (row, col) indexing: the closure store's FLAT
+    # index space can exceed int32 at large n, row/col never do
+    pr, pc = dev["pad_row"], dev["pad_col"]
+    rowsP = rowsP.at[pr, pc].set(
+        jnp.ones(pr.shape, dt), mode="drop", unique_indices=True
     )
-    return flat.reshape(TF + 2, cs, cs), rs
+    return rowsP.reshape(TF + 2, cs, cs), rs
