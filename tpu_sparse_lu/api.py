@@ -47,6 +47,13 @@ from .utils.config import SolverConfig, default_chunk_size
 
 __all__ = ["ParallelSparseLU", "cleanup_ParallelSparseLU"]
 
+# device-working-set ceiling for enable_device_refactor (see its guard);
+# a conservative 4x envelope over the merged tile store, overridable for
+# devices with more/less free HBM. Verified on v5e (16 GB): a 6.9 GB
+# estimate (colamd Poisson n=90k) runs fine; the nd closure at the same
+# n estimates 42 GB and must be refused.
+_REFACTOR_STORE_BUDGET = 9 * 1024**3
+
 
 def _resolve_dtype(config_dtype: Optional[str], A_dtype) -> jnp.dtype:
     if config_dtype is not None:
@@ -640,7 +647,7 @@ class ParallelSparseLU:
         itemsize = 4 if self.dtype == jnp.float32 else 8
         store_tiles = lplan.T + uplan.T + (-(-A_pat.shape[0] // self.plan.cs))
         store_bytes = 4 * store_tiles * self.plan.cs ** 2 * itemsize
-        limit = 6 * 1024**3
+        limit = _REFACTOR_STORE_BUDGET
         if store_bytes > limit:
             raise RuntimeError(
                 "device refactorization needs a working set of "
