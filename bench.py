@@ -201,14 +201,20 @@ def bench_config(cfg_id: int) -> dict:
                 return lax.fori_loop(0, N, body, b)
             return chain, b
 
+        # scipy baseline: full splu factorization (it has no numeric-only
+        # path); sampled before AND after our timing, min kept, so
+        # transient host load cannot inflate the ratio
+        def splu_time():
+            ts_b = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                spla.splu(A.tocsc())
+                ts_b.append(time.perf_counter() - t0)
+            return float(np.min(ts_b))
+
+        t_base_pre = splu_time()
         t = _slope_time(make_chain)
-        # scipy baseline: full splu factorization (it has no numeric-only path)
-        ts_b = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            spla.splu(A.tocsc())
-            ts_b.append(time.perf_counter() - t0)
-        t_base = float(np.min(ts_b))
+        t_base = min(t_base_pre, splu_time())
         nnz = F.L.nnz + F.U.nnz
         return dict(config="refactor_same_pattern", n=A.shape[0], nnz_lu=nnz,
                     t_ours=t, t_scipy=t_base, resid=float(r),
@@ -252,6 +258,10 @@ def bench_config(cfg_id: int) -> dict:
             f"fused_pallas={fused}")
         b = jnp.asarray(rng.random((A.shape[0], R)), dtype=jnp.float32)
         resid = _check_residual(F, A, b)
+        # host-load robustness: sample the scipy baseline BEFORE and
+        # AFTER our timing and keep the min — transient host load (e.g.
+        # concurrent compiles) otherwise inflates the ratio
+        t_base_pre = _scipy_panel_time(A, R)
         t_fused = _chain_time(_ldiv_fn(F), b)
         # kernel-vs-scan A/B (VERDICT r1 #1): measure both engines and
         # serve the faster — with the banded dissection the two are within
@@ -266,7 +276,7 @@ def bench_config(cfg_id: int) -> dict:
                 f"{t_scan*1e3:.3f} ms")
         t = t_fused if t_scan is None else min(t_fused, t_scan)
         nnz = F.L.nnz + F.U.nnz
-        t_base = _scipy_panel_time(A, R)
+        t_base = min(t_base_pre, _scipy_panel_time(A, R))
         out = dict(config="poisson100_ldiv_throughput", n=A.shape[0], R=R,
                    nnz_lu=nnz, t_ours=t, t_fused=t_fused, t_xla_scan=t_scan,
                    t_scipy=t_base, resid=resid, fused_pallas=fused,
