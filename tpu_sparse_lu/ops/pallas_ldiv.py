@@ -31,23 +31,30 @@ single-RHS solve (R=1, the reference's primary calling pattern) packs
 VMEM sublanes instead of wasting 127/128 lanes.
 
 The host emits the stream in dependency order (levels flattened — a
-single core executes sequentially anyway, so level *batching* buys
-nothing in-kernel; level *order* is all that matters): diagonal solves
-are SET ops (``acc=0``, ``src == dst``), everything else accumulates into
-a pre-zeroed panel. Tiles stream from HBM in fixed-size pages of ``PAGE``
-tiles, double-buffered — page ``p+1`` DMAs in while page ``p`` computes
-(the ring buffer that lets arbitrarily wide plans run in bounded VMEM).
+single core executes sequentially anyway; level *order* is all that
+matters): diagonal solves are SET ops (``acc=0``, ``src == dst``),
+everything else accumulates into a pre-zeroed panel. Tiles stream from
+HBM in fixed-size pages of ``PAGE`` tiles, double-buffered — page
+``p+1`` DMAs in while page ``p`` computes (the ring buffer that lets
+arbitrarily wide plans run in bounded VMEM).
 
-The kernel is HBM-BANDWIDTH-bound on the tile stream (measured: ~150GB/s
-sustained, op count barely matters), so tiles travel in TWO streams by
-value type: the permutation tiles are 0/1 and value-independent, so they
-stream as **int8** (4x fewer bytes — they are most of the ops) and are
-widened on the VPU after the page DMA lands; the L/U tiles stream as
-f32. Pages are single-kind (each phase is padded to a page boundary) and
-each stream has its own VMEM ring buffer, so a per-page kind flag picks
-the buffer and the op loop stays branchless per op. The split also makes
-the perm stream a reusable constant: a device refactorization rebuilds
-only the f32 L/U stream (see refactor.py).
+Two further measured facts shape the op loop:
+
+* the serial per-op dot is MXU weight-load-bound (~86-100 ns for a
+  (16,128)@(128,128), vs 14.5 ns for the surrounding copy-FMA), so
+  independent ops run ``GROUP`` at a time as one batched ``dot_general``
+  — pipelined weight loads cut the config-4 solve from 180 to 110 µs;
+  the emitter pads every dependency wave to GROUP so groups never span
+  a read-after-write boundary;
+* tile bytes still matter (the stream is the only HBM traffic), so
+  tiles travel in TWO streams by value type: the permutation tiles are
+  0/1 and value-independent, so they stream as **int8** (4x fewer
+  bytes) and are widened on the VPU after the page DMA lands; the L/U
+  tiles stream as f32. Pages are single-kind (each phase is padded to a
+  page boundary) and each stream has its own VMEM ring buffer, so a
+  per-page kind flag picks the buffer and the op loop stays branchless.
+  The split also makes the perm stream a reusable constant: a device
+  refactorization rebuilds only the f32 L/U stream (see refactor.py).
 """
 
 from __future__ import annotations
@@ -74,6 +81,15 @@ __all__ = [
 ]
 
 PAGE = 32  # tiles per DMA page (measured best on v5e: 16 -> 1.69ms, 32 -> 1.33ms, 48/64 regress on VMEM pressure; config-4 ldiv) (PAGE * cs * cs * itemsize bytes per buffer)
+# ops per batched dot_general group. A serial per-op dot is weight-load
+# bound (~86-100 ns for (16,128)@(128,128)); batching G independent ops
+# into one (G,Rp,cs)@(G,cs,cs) dot pipelines the MXU weight loads
+# (measured 206 -> 111 ns/op at G=16 in isolation). The emitter pads
+# every dependency WAVE to a multiple of GROUP so a group never spans a
+# read-after-write boundary; within a group all reads happen before any
+# write, and same-dst accumulation stays sequential after the matmul.
+GROUP = 8
+assert PAGE % GROUP == 0
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom out of ~16MB
 _SMEM_BUDGET = 256 * 1024
@@ -164,14 +180,28 @@ def _interleave(items: list, dst_of) -> list:
     return out
 
 
-def _tri_ops(plan: TriPlan, fac0: int, dinv_base: int, off_base: int):
+def _tri_ops(plan: TriPlan, fac0: int, dinv_base: int, off_base: int,
+             dummy: int):
     """Flatten one factor's level schedule into dependency-ordered ops.
 
     Each level contributes two waves — the batched diagonal solves, then
     the off-diagonal updates pushed from this level's chunks — and each
-    wave is destination-interleaved (see :func:`_interleave`).
+    wave is destination-interleaved (see :func:`_interleave`) and padded
+    to a multiple of GROUP, so the kernel's batched-dot groups never
+    span a read-after-write boundary (an off-diagonal op reads chunks
+    the SAME level's diagonal wave just solved; the next level's
+    diagonal wave reads chunks this level's off-diagonal wave wrote).
     """
     src, dst, acc, base, idx = [], [], [], [], []
+
+    def pad_wave():
+        pad = (-len(src)) % GROUP
+        src.extend([dummy] * pad)
+        dst.extend([dummy] * pad)
+        acc.extend([1] * pad)
+        base.extend([-1] * pad)
+        idx.extend([0] * pad)
+
     for l in range(plan.num_levels):
         nc = int(plan.level_chunk_counts[l])
         for k in plan.level_chunks[l, :nc].tolist():
@@ -180,6 +210,7 @@ def _tri_ops(plan: TriPlan, fac0: int, dinv_base: int, off_base: int):
             acc.append(0)           # diagonal solve: x_k = Tinv_k x_k
             base.append(dinv_base)
             idx.append(k)
+        pad_wave()
         nt = int(plan.level_tile_counts[l])
         tiles = _interleave(
             plan.level_tiles[l, :nt].tolist(),
@@ -191,6 +222,7 @@ def _tri_ops(plan: TriPlan, fac0: int, dinv_base: int, off_base: int):
             acc.append(1)           # off-diagonal update (tiles pre-negated)
             base.append(off_base)
             idx.append(t)
+        pad_wave()
     return src, dst, acc, base, idx
 
 
@@ -238,7 +270,7 @@ def build_ldiv_ops(
     # phase 2/3: the triangular solves (reference src:330, :333)
     for plan, db, ob in ((lplan, SRC_LDINV, SRC_LOFF),
                          (uplan, SRC_UDINV, SRC_UOFF)):
-        s_, d_, a_, b_, i_ = _tri_ops(plan, fac0, db, ob)
+        s_, d_, a_, b_, i_ = _tri_ops(plan, fac0, db, ob, dummy)
         src += s_
         dst += d_
         acc += a_
@@ -404,27 +436,39 @@ def _kernel(
     def _():
         start_dma(pg + 1)
 
-    def op_loop(tile_of):
-        for j in range(PAGE):
-            i = pg * PAGE + j
-            s = src_ref[i]
-            d = dst_ref[i]
-            a = acc_ref[i]
-            y = jnp.dot(x[s], tile_of(j),
-                        preferred_element_type=jnp.float32)
-            x[d] = y.astype(x.dtype) + a.astype(x.dtype) * x[d]
+    def op_loop(tiles_of):
+        # groups of GROUP independent ops (the emitter pads every
+        # dependency wave to GROUP): gather the sources, one batched
+        # matmul (pipelined MXU weight loads), then sequential
+        # accumulate-writes (correct for same-dst ops within a group)
+        for g in range(0, PAGE, GROUP):
+            xs = jnp.stack(
+                [x[src_ref[pg * PAGE + g + j]] for j in range(GROUP)]
+            )
+            y = jax.lax.dot_general(
+                xs, tiles_of(g),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for j in range(GROUP):
+                i = pg * PAGE + g + j
+                d = dst_ref[i]
+                a = acc_ref[i]
+                x[d] = y[j].astype(x.dtype) + a.astype(x.dtype) * x[d]
 
     slot = off_ref[pg] % 2
 
     @pl.when(kind_ref[pg] == 0)
     def _():
         perm_dma(pg).wait()
-        op_loop(lambda j: pages8[slot, j].astype(jnp.float32))
+        op_loop(
+            lambda g: pages8[slot, g:g + GROUP].astype(jnp.float32)
+        )
 
     @pl.when(kind_ref[pg] == 1)
     def _():
         lu_dma(pg).wait()
-        op_loop(lambda j: pages32[slot, j])
+        op_loop(lambda g: pages32[slot, g:g + GROUP])
 
     @pl.when(pg == NPAGES - 1)
     def _():
