@@ -199,6 +199,80 @@ def test_fused_step_in_step_refinement(rng):
     assert e1 < 1e-4 * np.linalg.norm(x_exact)
 
 
+def test_refactor_pivot_move_same_pattern_fused(rng):
+    """Regression (round-2 VERDICT confirmed hazard): a NON-reallocating
+    host refactor() that moves pivots under an identical L/U pattern
+    signature must invalidate the cached fused-op-stream ldiv executable.
+
+    Dense matrices keep the L/U patterns full for ANY pivot order, so the
+    signature never changes; the first matrix is diagonally dominant
+    (identity row pivots → only diagonal perm-tile pairs in the fused op
+    stream), the second is generic (pivots cross the chunk boundary →
+    more perm pairs, a structurally different stream). Pre-fix, the
+    cached executable closed over the OLD stream schedule and misrouted
+    the NEW tile streams (observed residual ~0.8)."""
+    rng2 = np.random.default_rng(3)
+    n = 256
+    A1 = sp.csc_matrix(np.eye(n) * 50.0 + rng2.random((n, n)))
+    A2 = sp.csc_matrix(rng2.random((n, n)) + np.eye(n))
+    cfg = SolverConfig(chunk_size=128, tri_mode="inv", dtype="float32",
+                       use_pallas="always")  # TPU-shaped path, interpreted
+    F = ParallelSparseLU(A1, config=cfg)
+    assert F._ldiv_ops is not None
+    sig = F._factors.pattern_signature()
+    p1 = F.p.copy()
+    b = rng.random((n, 4))
+    x1 = np.asarray(F.ldiv(b))  # warm the jit cache with the OLD stream
+    assert np.linalg.norm(A1 @ x1 - b) / np.linalg.norm(b) < 1e-3
+
+    plan_before = F.plan
+    F.refactor(A2)
+    # the hazard's preconditions — if any of these drifts the test is no
+    # longer covering the non-reallocating pivot-move path
+    assert F._factors.pattern_signature() == sig
+    assert F.plan is plan_before  # non-reallocating branch taken
+    assert not np.array_equal(p1, F.p)  # pivots actually moved
+
+    x2 = np.asarray(F.ldiv(b))
+    r = np.linalg.norm(A2 @ x2 - b) / np.linalg.norm(b)
+    assert r < 1e-3, f"stale fused-op-stream closure: residual {r}"
+
+
+def test_refactor_solve_step_stale_after_host_refactor(rng):
+    """A fused refactor+solve step made before a host refactor() closes
+    over the old static schedule; using it afterwards must raise, not
+    silently misroute."""
+    A = poisson_2d(8, 8)
+    F = ParallelSparseLU(A, chunk_size=8)
+    step = F.make_refactor_solve_step()
+    b = rng.random((A.shape[0], 2))
+    np.asarray(step(A.data, b))  # valid before
+    F.refactor(_perturb_values(rng, A, 0.3))
+    with pytest.raises(RuntimeError, match="stale"):
+        step(A.data, b)
+    # a fresh step works
+    step2 = F.make_refactor_solve_step()
+    np.asarray(step2(A.data, b))
+
+
+def test_lu_tile_interpret_matches_reference(rng):
+    """Pallas batched dense-tile LU (ops/pallas_factor.py) against the
+    XLA rank-1 loop reference, in interpret mode so CI covers the TPU
+    elimination kernel (round-2 VERDICT item 9)."""
+    import jax.numpy as jnp
+
+    from tpu_sparse_lu.ops.pallas_factor import lu_tile
+    from tpu_sparse_lu.refactor import _lu_nopivot
+
+    cs, batch = 128, 3
+    D = rng.standard_normal((batch, cs, cs))
+    D += cs * np.eye(cs)  # diagonally dominant: no-pivot LU is stable
+    D = jnp.asarray(D, dtype=jnp.float32)
+    got = np.asarray(lu_tile(D, interpret=True))
+    want = np.asarray(_lu_nopivot(D))
+    assert_isapprox(got, want, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize(
     "make,cs",
     [

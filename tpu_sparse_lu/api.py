@@ -116,9 +116,9 @@ class ParallelSparseLU:
             A_factor.indptr.copy(), A_factor.indices.copy()
         )
         self._refactor_plan = None
+        self._jit_cache = {}
         self._set_matrix_device(A)
         self._prepare_device()
-        self._jit_cache = {}
 
     def _factorize(self, A_factor: sp.csc_matrix) -> HostFactors:
         if self.config.ordering == "nd":
@@ -228,6 +228,15 @@ class ParallelSparseLU:
     def _prepare_device(self) -> None:
         """Pack factor nonzeros into tiles and build per-factor kernel data
         (the reference's allocate_chunks + fill_chunks!, src:151-243)."""
+        # Everything below (perm plans, fused op stream, scan bands) is
+        # baked into the jitted executables as trace-time constants, so any
+        # cached executable is stale the moment this rebuilds them. In
+        # particular a NON-reallocating host refactor() can move pivots
+        # under an identical L/U pattern signature (SuperLU re-pivots on
+        # value changes), which reshapes the perm-tile structure of the
+        # fused op stream — a cached ldiv closing over the OLD stream
+        # schedule would silently misroute the NEW tile streams.
+        self._jit_cache.clear()
         plan = self.plan
         ldiag, loff = pack_factor(
             plan.lplan, np.asarray(self._factors.L.data, dtype=self.dtype)
@@ -839,10 +848,23 @@ class ParallelSparseLU:
 
         gather = self._ldiv_gather if ops is not None else None
         s_perm = self._ldiv_stream_perm if ops is not None else None
-        return lambda a_data, b: step(
-            jnp.asarray(a_data), jnp.asarray(b), self._pperm, self._qperm,
-            gather, s_perm, self._spmv, self._spmv_dest,
-        )
+
+        def run(a_data, b):
+            # the step closes over this factorization's static schedule; a
+            # host refactor() (which may re-pivot) rebuilds that schedule,
+            # so a step made before it must not silently misroute
+            if self._refactor_plan is not rp:
+                raise RuntimeError(
+                    "stale refactor-solve step: refactor() rebuilt the "
+                    "factorization after this step was created; call "
+                    "make_refactor_solve_step() again"
+                )
+            return step(
+                jnp.asarray(a_data), jnp.asarray(b), self._pperm,
+                self._qperm, gather, s_perm, self._spmv, self._spmv_dest,
+            )
+
+        return run
 
 
     # -- misc ---------------------------------------------------------------

@@ -120,11 +120,19 @@ def factorize_host(
     lu = spla.splu(A_s.tocsc(), permc_spec=permc_spec, options=options)
     p = np.argsort(lu.perm_r).astype(np.int64)
     q = np.argsort(lu.perm_c).astype(np.int64)
+    # Canonicalize: SuperLU's factors come out index-UNSORTED when pivots
+    # move, which would make the byte-level pattern signature (the
+    # reference's lu! pattern-change check, src:252-258) spuriously differ
+    # for identical patterns and force a needless reallocation.
+    L = lu.L.tocsc()
+    L.sort_indices()
+    U = lu.U.tocsc()
+    U.sort_indices()
     return HostFactors(
         m=m,
         n=n,
-        L=lu.L.tocsc(),
-        U=lu.U.tocsc(),
+        L=L,
+        U=U,
         p=p,
         q=q,
         Rs=np.asarray(Rs, dtype=np.float64),
