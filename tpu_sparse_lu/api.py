@@ -47,11 +47,13 @@ from .utils.config import SolverConfig, default_chunk_size
 
 __all__ = ["ParallelSparseLU", "cleanup_ParallelSparseLU"]
 
-# device-working-set ceiling for enable_device_refactor (see its guard);
-# a conservative 4x envelope over the merged tile store, overridable for
-# devices with more/less free HBM. Verified on v5e (16 GB): a 6.9 GB
-# estimate (colamd Poisson n=90k) runs fine; the nd closure at the same
-# n estimates 42 GB and must be refused.
+# default device-working-set ceiling for enable_device_refactor (see its
+# guard); a conservative 4x envelope over the merged tile store. Override
+# per-call (`enable_device_refactor(store_budget=...)`) or per-solver
+# (`SolverConfig.refactor_store_budget`) for devices with more/less free
+# HBM. Verified on v5e (16 GB): a 6.9 GB estimate (colamd Poisson n=90k)
+# runs fine; the nd closure at the same n estimates 42 GB and must be
+# refused.
 _REFACTOR_STORE_BUDGET = 9 * 1024**3
 
 
@@ -626,16 +628,24 @@ class ParallelSparseLU:
     def has_device_refactor(self) -> bool:
         return self._refactor_plan is not None
 
-    def enable_device_refactor(self) -> None:
+    def enable_device_refactor(
+        self, *, store_budget: Optional[int] = None
+    ) -> None:
         """Build (once) the static device-refactorization schedule.
 
         Rebuilds the solve plans on the blocked-fill closure of the input
         pattern (a tile superset of the factors' own patterns) so refactored
         tiles feed the solve engine directly, then re-packs the current
         factors onto the widened plans.
+
+        ``store_budget`` — device working-set ceiling in bytes for the HBM
+        guard below (default: ``SolverConfig.refactor_store_budget``, else
+        a 9 GB envelope calibrated on v5e).
         """
         if self._refactor_plan is not None:
             return
+        if store_budget is None:
+            store_budget = self.config.refactor_store_budget
         from .refactor import build_refactor_plan, closure_solve_plans
 
         # the refactor plan lives on the FACTORED pattern (extended when
@@ -654,36 +664,59 @@ class ParallelSparseLU:
         # on the device (e.g. nd-ordered 2D problems at n ~ 1e5 close to
         # a near-dense tile grid). The host `refactor()` path remains.
         itemsize = 4 if self.dtype == jnp.float32 else 8
-        store_tiles = lplan.T + uplan.T + (-(-A_pat.shape[0] // self.plan.cs))
-        store_bytes = 4 * store_tiles * self.plan.cs ** 2 * itemsize
-        limit = _REFACTOR_STORE_BUDGET
-        if store_bytes > limit:
+        cs = self.plan.cs
+        K = -(-A_pat.shape[0] // cs)
+        limit = store_budget if store_budget else _REFACTOR_STORE_BUDGET
+
+        def refuse(nbytes: int, detail: str) -> None:
             raise RuntimeError(
                 "device refactorization needs a working set of "
-                f"~{store_bytes / 1e9:.1f} GB (dense tile store of the "
-                "elimination closure + solve extraction), above the "
-                f"supported budget ({limit / 1e9:.1f} GB). Use the host "
-                "refactor() path, a smaller chunk_size, or "
-                "ordering='colamd' for this matrix."
+                f"~{nbytes / 1e9:.1f} GB ({detail}), above the budget "
+                f"({limit / 1e9:.1f} GB). Use the host refactor() path, a "
+                "smaller chunk_size, ordering='colamd' for this matrix, or "
+                "raise the budget via enable_device_refactor("
+                "store_budget=...) / SolverConfig.refactor_store_budget."
             )
-        self.plan.lplan = lplan
-        self.plan.uplan = uplan
-        self._jit_cache.clear()
-        self._refactor_plan = build_refactor_plan(
+
+        # fail fast before the (possibly long) host scheduling: a 4x
+        # envelope over the merged tile store
+        store_tiles = lplan.T + uplan.T + K
+        store_bytes = 4 * store_tiles * cs ** 2 * itemsize
+        if store_bytes > limit:
+            refuse(store_bytes, "dense tile store of the elimination "
+                   "closure + solve extraction")
+        rp = build_refactor_plan(
             A_pat, self._factors.p, self._factors.q, self.plan.cs,
             lplan, uplan,
             data_src=None if self._ext is None else self._ext["data_src"],
         )
+        # precise guard now that the level schedule exists: in inv modes
+        # the elimination scan also materializes per-level panel-inverse
+        # stacks (2 * NL * BL tiles — a skewed schedule pads NL*BL well
+        # beyond K), and the windowed assembly holds a W-fold replicated
+        # value table
+        extra = rp.win.W * rp.win.Np * itemsize
+        if self.config.tri_mode in ("inv", "inv_refine"):
+            BL = rp.diag_ids.shape[1]
+            extra += 2 * rp.NL * BL * cs ** 2 * itemsize
+        if store_bytes + extra > limit:
+            refuse(store_bytes + extra, "tile store + per-level inverse "
+                   "stacks + assembly value table")
+        self.plan.lplan = lplan
+        self.plan.uplan = uplan
+        self._jit_cache.clear()
+        self._refactor_plan = rp
         # one-time upload of the static schedule (the fused refactor
         # pipeline takes these as device-resident arguments)
-        rp = self._refactor_plan
         self._refactor_dev = {
             "win_src": jnp.asarray(rp.win.win_src),
             "win_dst": jnp.asarray(rp.win.win_dst),
             "win_mask": jnp.asarray(rp.win.win_mask),
             "left_src": jnp.asarray(rp.win.left_src),
-            "left_dst": jnp.asarray(rp.win.left_dst),
-            "ones_dst": jnp.asarray(rp.win.ones_dst),
+            "left_row": jnp.asarray(rp.win.left_row),
+            "left_col": jnp.asarray(rp.win.left_col),
+            "ones_row": jnp.asarray(rp.win.ones_row),
+            "ones_col": jnp.asarray(rp.win.ones_col),
             "brow2_tiles": jnp.asarray(rp.win.brow2_tiles),
             "tile_brow2": jnp.asarray(rp.win.tile_brow2),
             "permrow_src": jnp.asarray(rp.win.permrow_src),

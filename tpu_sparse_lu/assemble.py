@@ -73,10 +73,16 @@ class WindowPlan:
     win_dst: np.ndarray   # (Rw,) dest W-row in the transposed store
     win_mask: np.ndarray  # (Rw, W) 1.0 where the run covers the slot
     left_src: np.ndarray  # (Lf,) leftover element -> a_data index
-    left_dst: np.ndarray  # (Lf,) leftover element -> transposed-store pos
-    ones_dst: np.ndarray  # (Of,) constant-1.0 positions (nd embedding
-    #                       identity entries; scattered BEFORE the
-    #                       equilibration so they are scaled like values)
+    # leftover / constant-1.0 destinations as (row, col) pairs into the
+    # ((TF2+1)*cs, cs) row view of the transposed store: FLAT positions
+    # can exceed int32 at large n and jnp.asarray would silently truncate
+    # int64 when x64 is off (the TPU default) — rows and cols never can.
+    # (ones = nd-embedding identity entries, scattered BEFORE the
+    # equilibration so they are scaled like values.)
+    left_row: np.ndarray  # (Lf,)
+    left_col: np.ndarray  # (Lf,)
+    ones_row: np.ndarray  # (Of,)
+    ones_col: np.ndarray  # (Of,)
     brow2_tiles: np.ndarray  # (K, MT2) tile ids per block row (pad = TF2)
     tile_brow2: np.ndarray   # (TF2+1,) block row of each tile
     permrow_src: np.ndarray  # ((TF+2)*cs,) row-permutation gather map
@@ -184,13 +190,13 @@ def plan_windowed_assembly(
     win_mask = ((ar >= lo_s) & (ar < hi_s)).astype(np.float32)
 
     # leftovers: elements whose run lost its dest row to a longer run
-    # (index dtype: the unpermuted store has (TF2+1)*cs^2 slots, which
-    # can exceed int32 at large n)
-    idt = np.int64 if (TF2 + 1) * cs * cs >= 2**31 else np.int32
     pos = np.searchsorted(win_wrow, destT // W)
     covered = rid == win_run[pos]
     left_src = src[~covered].astype(np.int32)
-    left_dst = destT[~covered].astype(idt)
+    left_dst = destT[~covered]
+    # win_dst indexes W-wide rows, so it stays int32 far beyond any store
+    # the HBM budget admits; assert rather than silently truncate
+    assert (TF2 + 1) * cs * cs // W < 2**31, "window store exceeds int32 rows"
 
     # --- equilibration maps (unpermuted grid) ------------------------------
     browt: list = [[] for _ in range(K)]
@@ -226,11 +232,13 @@ def plan_windowed_assembly(
     return WindowPlan(
         W=W, TF2=TF2, R1=R1, Np=Np,
         win_src=win_src,
-        win_dst=win_wrow.astype(idt),
+        win_dst=win_wrow.astype(np.int32),
         win_mask=win_mask,
         left_src=left_src,
-        left_dst=left_dst,
-        ones_dst=ones_dst.astype(idt),
+        left_row=(left_dst // cs).astype(np.int32),
+        left_col=(left_dst % cs).astype(np.int32),
+        ones_row=(ones_dst // cs).astype(np.int32),
+        ones_col=(ones_dst % cs).astype(np.int32),
         brow2_tiles=brow2_tiles,
         tile_brow2=tile_brow2,
         permrow_src=permrow_src,
@@ -257,19 +265,21 @@ def assemble_windowed(a_data, dev, *, n: int, cs: int, TF: int,
     st = jnp.zeros((M2 // W, W), dt).at[dev["win_dst"]].set(
         upd, mode="drop", unique_indices=True
     )
-    flat2 = st.reshape(-1)
+    # leftover / identity destinations index the ((TF2+1)*cs, cs) row view
+    # as (row, col) pairs — flat positions could exceed int32 at large n
+    rows2v = st.reshape((TF2 + 1) * cs, cs)
     if dev["left_src"].shape[0]:
-        flat2 = flat2.at[dev["left_dst"]].set(
+        rows2v = rows2v.at[dev["left_row"], dev["left_col"]].set(
             a_data[dev["left_src"]], mode="drop", unique_indices=True
         )
-    od = dev["ones_dst"]
-    if od.shape[0]:
+    orow = dev["ones_row"]
+    if orow.shape[0]:
         # nd-embedding identity entries: constant 1.0 values, placed
         # BEFORE the equilibration so they are row-scaled like the rest
-        flat2 = flat2.at[od].set(
-            jnp.ones(od.shape, dt), mode="drop", unique_indices=True
+        rows2v = rows2v.at[orow, dev["ones_col"]].set(
+            jnp.ones(orow.shape, dt), mode="drop", unique_indices=True
         )
-    t2 = flat2.reshape(TF2 + 1, cs, cs)  # transposed: (tile, col, row)
+    t2 = rows2v.reshape(TF2 + 1, cs, cs)  # transposed: (tile, col, row)
 
     # row equilibration on the unpermuted store: reduce over the col axis
     # (dense), combine block rows with a tiny (K, MT2, cs) gather. Rows

@@ -63,6 +63,9 @@ class SolverConfig:
     # nd base-subdomain size (default cs//2): larger -> fewer, denser
     # off-diagonal tiles (fewer solve ops) at the price of more fill
     nd_cutoff: Optional[int] = None
+    # device working-set ceiling (bytes) for enable_device_refactor's HBM
+    # guard; None -> the 9 GB v5e-calibrated default in api.py
+    refactor_store_budget: Optional[int] = None
 
     def __post_init__(self):
         if self.tri_mode not in ("trsm", "inv", "inv_refine"):

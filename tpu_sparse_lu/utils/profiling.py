@@ -60,7 +60,13 @@ def slope_time(make_chain, reps: int = 5) -> float:
     c3, x3 = make_chain(N3_CHAIN)
     timed(c3, x3)
     t3s = [timed(c3, x3) for _ in range(reps)]
-    return max((min(t3s) - t1) / (N3_CHAIN - N1_CHAIN), 0.0)
+    slope = (min(t3s) - t1) / (N3_CHAIN - N1_CHAIN)
+    if slope <= 0.0:
+        # even the escalation chain produced no signal: the iteration is
+        # below the measurement floor. NaN (not 0) so downstream ratios
+        # (nnz/t, t_base/t) flag as unresolved instead of dividing by zero
+        return float("nan")
+    return slope
 
 
 def chain_time(exe_args_fn, b, reps: int = 5) -> float:
