@@ -18,6 +18,7 @@ from tpu_sparse_lu.ops.pallas_ldiv import (
     SRC_LOFF,
     SRC_PERMP,
     SRC_PERMQ,
+    SRC_SHIFT,
     SRC_UDINV,
     SRC_UOFF,
     build_ldiv_ops,
@@ -123,13 +124,27 @@ def test_op_stream_structure(rng):
     assert np.all(ops.src[pad] == dummy)
     assert np.all(ops.dst[pad] == dummy)
     assert ops.src.shape[0] % PAGE == 0
-    # pages are single-kind: perm components on int8 pages, L/U on f32
+    # pages are single-kind: int8 perm residue on kind-0 pages, L/U on
+    # f32 kind-1 pages, zero-byte shift ops on kind-2 pages
     kind_of_slot = np.repeat(ops.page_kind, PAGE)
     perm_slot = np.isin(ops.tile_base, (SRC_PERMP, SRC_PERMQ))
     lu_slot = np.isin(ops.tile_base, (SRC_LDINV, SRC_LOFF,
                                       SRC_UDINV, SRC_UOFF))
+    shift_slot = ops.tile_base == SRC_SHIFT
     assert np.all(kind_of_slot[perm_slot] == 0)
     assert np.all(kind_of_slot[lu_slot] == 1)
+    assert np.all(kind_of_slot[shift_slot] == 2)
+    # every perm pair is covered exactly once: as shift runs (with valid
+    # lane ranges) or as an int8 matmul tile
+    from tpu_sparse_lu.ops.pallas_ldiv import _perm_ops
+
+    for pp in (F._pperm, F._qperm):
+        shifts, mm = _perm_ops(pp)
+        covered = len({(d, s) for d, s, *_ in shifts}) + len(mm)
+        real = int(np.sum(np.asarray(pp.tiles).any(axis=(2, 3))))
+        assert covered == real
+    assert np.all(ops.lo[shift_slot] < ops.hi[shift_slot])
+    assert np.all(ops.hi[shift_slot] <= ops.cs)
     # dependency order within L: a chunk's diag solve precedes every op
     # consuming it as source, and follows every op targeting it
     seen_solved = set()
@@ -153,3 +168,19 @@ def test_supports_fused_ldiv_gates(rng):
     assert not supports_fused_ldiv(ops, 16)          # cs=8 not lane-aligned
     assert not supports_fused_ldiv(None, 16)
     assert not supports_fused_ldiv(ops, 16, itemsize=8)  # f64
+
+
+def test_lu_tile_interpret_matches_nopivot(rng):
+    """The Pallas masked-reduction LU kernel (ops/pallas_factor.py) vs the
+    XLA reference `_lu_nopivot` on random diagonally-dominant batches —
+    interpret mode, so the TPU elimination kernel is CI-covered
+    (supports_lu_tile gates the real backend)."""
+    from tpu_sparse_lu.ops.pallas_factor import lu_tile
+    from tpu_sparse_lu.refactor import _lu_nopivot
+
+    cs = 16
+    D = rng.standard_normal((5, cs, cs)).astype(np.float32)
+    D += cs * np.eye(cs, dtype=np.float32)  # no-pivot-stable
+    want = np.asarray(_lu_nopivot(jnp.asarray(D)))
+    got = np.asarray(lu_tile(jnp.asarray(D), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

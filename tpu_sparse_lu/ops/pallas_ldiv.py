@@ -40,12 +40,10 @@ arbitrarily wide plans run in bounded VMEM).
 
 Two further measured facts shape the op loop:
 
-* the serial per-op dot is MXU weight-load-bound (~86-100 ns for a
-  (16,128)@(128,128), vs 14.5 ns for the surrounding copy-FMA), so
-  independent ops run ``GROUP`` at a time as one batched ``dot_general``
-  — pipelined weight loads cut the config-4 solve from 180 to 110 µs;
-  the emitter pads every dependency wave to GROUP so groups never span
-  a read-after-write boundary;
+* batching independent ops as one ``dot_general`` (``GROUP_MM`` at a
+  time) keeps reads ahead of writes so dynamic VMEM accesses don't
+  serialize; the emitter pads every dependency wave to GROUP_MM so
+  groups never span a read-after-write boundary;
 * tile bytes still matter (the stream is the only HBM traffic), so
   tiles travel in TWO streams by value type: the permutation tiles are
   0/1 and value-independent, so they stream as **int8** (4x fewer
@@ -55,6 +53,23 @@ Two further measured facts shape the op loop:
   per-page kind flag picks the buffer and the op loop stays branchless.
   The split also makes the perm stream a reusable constant: a device
   refactorization rebuilds only the f32 L/U stream (see refactor.py).
+
+Third measured fact (v5e slope-timed synthetic streams, round 3): the
+kernel runs at HBM speed-of-light — ~12 ns/op fixed plus stream bytes at
+~850 GB/s (f32 tile 89 ns, int8 tile 31 ns). At that point the only
+lever left is BYTES, and one-hot permutation tiles carry log2(cs) bits
+of information in 16 KB. Under the chunk-aligned orderings almost every
+perm tile is 1-2 *contiguous shifted runs* (measured: 198/246 tiles
+single-run, 48/246 two-run on the nd Poisson plan), so they are emitted
+as a third op kind — **shift ops** — executed entirely on the VPU with
+ZERO stream bytes:
+
+    X[dst] = where(lo <= lane < hi, roll(X[src], delta, lanes), 0)
+             + acc * X[dst]
+
+``(delta, lo, hi)`` ride the scalar-prefetch arrays; pages of shift ops
+start no DMA at all. Tiles with more runs than ``_RUNS_MAX`` stay on the
+int8 matmul path (hostile permutations degrade gracefully).
 """
 
 from __future__ import annotations
@@ -80,24 +95,37 @@ __all__ = [
     "pallas_fused_ldiv",
 ]
 
-PAGE = 32  # tiles per DMA page (measured best on v5e: 16 -> 1.69ms, 32 -> 1.33ms, 48/64 regress on VMEM pressure; config-4 ldiv) (PAGE * cs * cs * itemsize bytes per buffer)
-# ops per batched dot_general group. A serial per-op dot is weight-load
-# bound (~86-100 ns for (16,128)@(128,128)); batching G independent ops
-# into one (G,Rp,cs)@(G,cs,cs) dot pipelines the MXU weight loads
-# (measured 206 -> 111 ns/op at G=16 in isolation). The emitter pads
-# every dependency WAVE to a multiple of GROUP so a group never spans a
-# read-after-write boundary; within a group all reads happen before any
-# write, and same-dst accumulation stays sequential after the matmul.
-GROUP = 8
-assert PAGE % GROUP == 0
+PAGE = 32  # tiles per DMA page (PAGE * cs * cs * itemsize bytes per ring buffer; 16/32/64 measured within noise on v5e round-3 slope timing — the stream is HBM-byte-bound)
+# Ops per batched dot_general group for the MATMUL kinds. The emitter
+# pads every dependency WAVE to a multiple of GROUP_MM so a group never
+# spans a read-after-write boundary; within a group all reads happen
+# before any write, and same-dst accumulation stays sequential after the
+# matmul. Round-3 slope timing on synthetic streams: f32 tile ops cost
+# the same 88-90 ns/slot at G in {2,4,8,16,32} — the cost IS the HBM
+# bytes — so GROUP_MM is set to the MINIMUM that preserves the
+# read/write batching (2), which quarters the zero-tile padding every
+# wave streams compared to the old G=8.
+GROUP_MM = 2
+# Shift ops move no bytes; their cost is per-op fixed latency, which
+# grouping amortizes (measured 83 ns serial, 29 ns at G=4, 20 ns at
+# G=8). They are never wave-padded (pages only), so a large group is
+# free.
+GROUP_SHIFT = 8
+assert PAGE % GROUP_MM == 0 and PAGE % GROUP_SHIFT == 0
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom out of ~16MB
 _SMEM_BUDGET = 256 * 1024
 
-# tile-source component ids for the stream gathers
-SRC_PERMP, SRC_LDINV, SRC_LOFF, SRC_UDINV, SRC_UOFF, SRC_PERMQ = range(6)
+# tile-source component ids for the stream gathers; SRC_SHIFT marks
+# tile-less lane-shift ops (op kind 2 — no stream slot, scalars only)
+(SRC_PERMP, SRC_LDINV, SRC_LOFF, SRC_UDINV, SRC_UOFF, SRC_PERMQ,
+ SRC_SHIFT) = range(7)
 _PERM_COMPONENTS = (SRC_PERMP, SRC_PERMQ)          # int8 stream
 _LU_COMPONENTS = (SRC_LDINV, SRC_LOFF, SRC_UDINV, SRC_UOFF)  # f32 stream
+
+# a perm tile with more contiguous runs than this streams as an int8
+# matmul tile (31 ns) instead of per-run shift ops (~12 ns each)
+_RUNS_MAX = 2
 
 
 @dataclasses.dataclass
@@ -110,9 +138,10 @@ class LdivOps:
     be (re)built with one concat + gather — both at pack time and inside
     the jitted refactorization pipeline.
 
-    Ops are emitted in three page-aligned segments — perm-in (int8),
-    L+U (f32), perm-out (int8) — and ``page_kind``/``page_off`` say, per
-    page, which stream it reads and at which page offset within it.
+    Ops are emitted in page-aligned segments — perm-in (shift kind 2 +
+    int8 residue), L+U (f32), perm-out (shift + int8 residue) — and
+    ``page_kind``/``page_off`` say, per page, which stream it reads (kind
+    2 = none) and at which page offset within it.
 
     Panel layout: blocks ``[0, KA]`` input space, ``[KA+1, KA+KB+1]``
     factor space, ``[KA+KB+2, 2*KA+KB+2]`` output space, ``[P-1]`` dummy.
@@ -127,8 +156,13 @@ class LdivOps:
     acc: np.ndarray        # (Npad,) int32: 1 = accumulate, 0 = set
     tile_base: np.ndarray  # (Npad,) int32 component id, -1 = zero tile
     tile_idx: np.ndarray   # (Npad,) int32 index within the component
-    page_kind: np.ndarray  # (NPAGES,) int32: 0 = int8 perm, 1 = f32 L/U
+    page_kind: np.ndarray  # (NPAGES,) int32: 0 int8 perm / 1 f32 / 2 shift
     page_off: np.ndarray   # (NPAGES,) int32 page index within its stream
+    # shift-op scalars (kind 2; zeros elsewhere): lane roll amount and
+    # half-open destination lane range of the run
+    delta: np.ndarray      # (Npad,) int32
+    lo: np.ndarray         # (Npad,) int32
+    hi: np.ndarray         # (Npad,) int32
 
     @property
     def n_pages(self) -> int:
@@ -154,6 +188,45 @@ def _perm_pairs(pplan) -> list:
             if src[k, s] < pplan.K_in:  # K_in is the dummy source
                 out.append((k, int(src[k, s]), k * S + s))
     return out
+
+
+def _perm_ops(pplan):
+    """Split a PermPlan's tiles into zero-byte shift ops and int8 residue.
+
+    A one-hot tile whose nonzeros form at most ``_RUNS_MAX`` contiguous
+    shifted runs (dst row = src row + delta over a dst range [lo, hi))
+    becomes one kind-2 op per run; anything denser stays a streamed int8
+    matmul tile. Under the chunk-aligned orderings the residue is empty
+    (the embedding inserts padding rows but never scrambles within runs).
+
+    Returns ``(shifts, mm)`` with shifts = [(dst_chunk, src_chunk, delta,
+    lo, hi)], mm = [(dst_chunk, src_chunk, flat_tile_idx)].
+    """
+    tiles = np.asarray(pplan.tiles)  # (K, S, cs, cs) int8 one-hot
+    srcs = np.asarray(pplan.src)
+    K, S, cs = tiles.shape[0], tiles.shape[1], tiles.shape[2]
+    shifts, mm = [], []
+    for k in range(K):
+        for s in range(S):
+            sc = int(srcs[k, s])
+            if sc >= pplan.K_in:
+                continue
+            nz = np.argwhere(tiles[k, s])
+            if not len(nz):
+                continue  # padded slot
+            nz = nz[np.argsort(nz[:, 0])]
+            d, j = nz[:, 0], nz[:, 1]
+            newrun = np.ones(len(d), dtype=bool)
+            newrun[1:] = (d[1:] != d[:-1] + 1) | (j[1:] != j[:-1] + 1)
+            starts = np.nonzero(newrun)[0]
+            if len(starts) <= _RUNS_MAX:
+                lens = np.diff(np.append(starts, len(d)))
+                for a, ln in zip(starts, lens):
+                    shifts.append((k, sc, int((d[a] - j[a]) % cs),
+                                   int(d[a]), int(d[a] + ln)))
+            else:
+                mm.append((k, sc, k * S + s))
+    return shifts, mm
 
 
 def _interleave(items: list, dst_of) -> list:
@@ -187,7 +260,7 @@ def _tri_ops(plan: TriPlan, fac0: int, dinv_base: int, off_base: int,
     Each level contributes two waves — the batched diagonal solves, then
     the off-diagonal updates pushed from this level's chunks — and each
     wave is destination-interleaved (see :func:`_interleave`) and padded
-    to a multiple of GROUP, so the kernel's batched-dot groups never
+    to a multiple of GROUP_MM, so the kernel's batched-dot groups never
     span a read-after-write boundary (an off-diagonal op reads chunks
     the SAME level's diagonal wave just solved; the next level's
     diagonal wave reads chunks this level's off-diagonal wave wrote).
@@ -195,7 +268,7 @@ def _tri_ops(plan: TriPlan, fac0: int, dinv_base: int, off_base: int,
     src, dst, acc, base, idx = [], [], [], [], []
 
     def pad_wave():
-        pad = (-len(src)) % GROUP
+        pad = (-len(src)) % GROUP_MM
         src.extend([dummy] * pad)
         dst.extend([dummy] * pad)
         acc.extend([1] * pad)
@@ -245,49 +318,53 @@ def build_ldiv_ops(
     out0 = KA + KB + 2     # output-space block offset
     dummy = 2 * (KA + 1) + (KB + 1)  # last block
     src, dst, acc, base, idx = [], [], [], [], []
+    dlt, lo, hi = [], [], []
     seg_pages = []  # (kind, n_pages) per segment
+
+    def emit(s, d, a, b, i, dl=0, l=0, h=0):
+        src.append(s)
+        dst.append(d)
+        acc.append(a)
+        base.append(b)
+        idx.append(i)
+        dlt.append(dl)
+        lo.append(l)
+        hi.append(h)
 
     def close_segment(kind):
         """Pad the open segment to a page boundary and record its kind."""
-        pad = (-len(src)) % PAGE
-        src.extend([dummy] * pad)
-        dst.extend([dummy] * pad)
-        acc.extend([1] * pad)
-        base.extend([-1] * pad)
-        idx.extend([0] * pad)
+        for _ in range((-len(src)) % PAGE):
+            emit(dummy, dummy, 1, -1, 0)
         done = sum(p * PAGE for _, p in seg_pages)
         seg_pages.append((kind, (len(src) - done) // PAGE))
 
+    def emit_perm(pplan, src_of, dst_of, comp):
+        """One permutation phase: a kind-2 shift segment (zero stream
+        bytes; serial in-kernel, so no GROUP padding either) followed by
+        the int8 matmul residue for runs-dense tiles."""
+        shifts, mm = _perm_ops(pplan)
+        for (d, s, dl, l, h) in _interleave(shifts, lambda it: it[0]):
+            emit(src_of(s), dst_of(d), 1, SRC_SHIFT, 0, dl, l, h)
+        close_segment(2)
+        for (d, s, t) in _interleave(mm, lambda it: it[0]):
+            emit(src_of(s), dst_of(d), 1, comp, t)
+        close_segment(0)
+
     # phase 1: wrk = P(Rs ⊙ b) — scale happens in XLA before the kernel;
-    # the factor-space panel is pre-zeroed, so every perm tile accumulates
-    for (d, s, t) in _interleave(_perm_pairs(pperm), lambda it: it[0]):
-        src.append(s)
-        dst.append(fac0 + d)
-        acc.append(1)
-        base.append(SRC_PERMP)
-        idx.append(t)
-    close_segment(0)
+    # the factor-space panel is pre-zeroed, so every perm op accumulates
+    emit_perm(pperm, lambda s: s, lambda d: fac0 + d, SRC_PERMP)
     # phase 2/3: the triangular solves (reference src:330, :333)
     for plan, db, ob in ((lplan, SRC_LDINV, SRC_LOFF),
                          (uplan, SRC_UDINV, SRC_UOFF)):
         s_, d_, a_, b_, i_ = _tri_ops(plan, fac0, db, ob, dummy)
-        src += s_
-        dst += d_
-        acc += a_
-        base += b_
-        idx += i_
+        for vals in zip(s_, d_, a_, b_, i_):
+            emit(*vals)
     close_segment(1)
     # phase 4: x[q] = wrk (reference src:337-339), into the output blocks
-    for (d, s, t) in _interleave(_perm_pairs(qperm), lambda it: it[0]):
-        src.append(fac0 + s)
-        dst.append(out0 + d)
-        acc.append(1)
-        base.append(SRC_PERMQ)
-        idx.append(t)
-    close_segment(0)
+    emit_perm(qperm, lambda s: fac0 + s, lambda d: out0 + d, SRC_PERMQ)
 
     page_kind, page_off = [], []
-    off = {0: 0, 1: 0}
+    off = {0: 0, 1: 0, 2: 0}
     for kind, n in seg_pages:
         for _ in range(n):
             page_kind.append(kind)
@@ -303,6 +380,9 @@ def build_ldiv_ops(
         tile_idx=np.asarray(idx, dtype=np.int32),
         page_kind=np.asarray(page_kind, dtype=np.int32),
         page_off=np.asarray(page_off, dtype=np.int32),
+        delta=np.asarray(dlt, dtype=np.int32),
+        lo=np.asarray(lo, dtype=np.int32),
+        hi=np.asarray(hi, dtype=np.int32),
     )
 
 
@@ -375,13 +455,14 @@ def supports_fused_ldiv(ops: Optional[LdivOps], R: int,
     pages = 2 * PAGE * cs * cs * (itemsize + 1)  # f32 + int8 ring buffers
     if panel + pages >= _VMEM_BUDGET:
         return False
-    if (ops.src.shape[0] * 3 + ops.page_kind.shape[0] * 2) * 4 >= _SMEM_BUDGET:
+    if (ops.src.shape[0] * 6 + ops.page_kind.shape[0] * 2) * 4 >= _SMEM_BUDGET:
         return False
     return True
 
 
 def _kernel(
     src_ref, dst_ref, acc_ref,    # scalar prefetch (Npad,) each
+    delta_ref, lo_ref, hi_ref,    # scalar prefetch (Npad,) — shift ops
     kind_ref, off_ref,            # scalar prefetch (NPAGES,) each
     in_hbm,        # (KA+1, Rp, cs) HBM — scaled, blocked, transposed RHS
     sperm_hbm,     # (N8, cs, cs) int8 HBM — transposed perm tile stream
@@ -437,20 +518,20 @@ def _kernel(
         start_dma(pg + 1)
 
     def op_loop(tiles_of):
-        # groups of GROUP independent ops (the emitter pads every
-        # dependency wave to GROUP): gather the sources, one batched
-        # matmul (pipelined MXU weight loads), then sequential
-        # accumulate-writes (correct for same-dst ops within a group)
-        for g in range(0, PAGE, GROUP):
+        # groups of GROUP_MM independent ops (the emitter pads every
+        # dependency wave to GROUP_MM): gather the sources, one batched
+        # matmul, then sequential accumulate-writes (correct for
+        # same-dst ops within a group)
+        for g in range(0, PAGE, GROUP_MM):
             xs = jnp.stack(
-                [x[src_ref[pg * PAGE + g + j]] for j in range(GROUP)]
+                [x[src_ref[pg * PAGE + g + j]] for j in range(GROUP_MM)]
             )
             y = jax.lax.dot_general(
                 xs, tiles_of(g),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            for j in range(GROUP):
+            for j in range(GROUP_MM):
                 i = pg * PAGE + g + j
                 d = dst_ref[i]
                 a = acc_ref[i]
@@ -462,13 +543,39 @@ def _kernel(
     def _():
         perm_dma(pg).wait()
         op_loop(
-            lambda g: pages8[slot, g:g + GROUP].astype(jnp.float32)
+            lambda g: pages8[slot, g:g + GROUP_MM].astype(jnp.float32)
         )
 
     @pl.when(kind_ref[pg] == 1)
     def _():
         lu_dma(pg).wait()
-        op_loop(lambda g: pages32[slot, g:g + GROUP])
+        op_loop(lambda g: pages32[slot, g:g + GROUP_MM])
+
+    @pl.when(kind_ref[pg] == 2)
+    def _():
+        # shift ops: pure VPU data movement, no tile DMA, no MXU —
+        # X[dst] = mask(lo,hi) * roll(X[src], delta, lanes) + acc * X[dst].
+        # Grouped like the matmul ops (all reads, then independent rolls,
+        # then writes): a strictly serial per-op loop serializes on the
+        # dynamic VMEM accesses (~83 ns/op measured); grouping restores
+        # instruction-level parallelism. The emitter's phase structure
+        # guarantees a group never reads a block it also writes (perm
+        # phases read one panel space and write another).
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (x.shape[1], x.shape[2]), 1
+        )
+        for g in range(0, PAGE, GROUP_SHIFT):
+            xs = [x[src_ref[pg * PAGE + g + j]] for j in range(GROUP_SHIFT)]
+            ys = []
+            for j in range(GROUP_SHIFT):
+                i = pg * PAGE + g + j
+                r = pltpu.roll(xs[j], delta_ref[i], 1)
+                m = (lane >= lo_ref[i]) & (lane < hi_ref[i])
+                ys.append(jnp.where(m, r, jnp.zeros_like(r)))
+            for j in range(GROUP_SHIFT):
+                i = pg * PAGE + g + j
+                d = dst_ref[i]
+                x[d] = ys[j] + acc_ref[i].astype(x.dtype) * x[d]
 
     @pl.when(pg == NPAGES - 1)
     def _():
@@ -496,9 +603,14 @@ def pallas_fused_ldiv(
     if Rp != R:
         xt = jnp.pad(xt, ((0, 0), (0, Rp - R), (0, 0)))
     NPAGES = ops.n_pages
+    if stream_perm.shape[0] == 0:
+        # all perm tiles became shift ops: keep a one-page placeholder —
+        # the DMA slice must stay in bounds at TRACE time even though no
+        # kind-0 page ever runs it
+        stream_perm = jnp.zeros((PAGE, cs, cs), jnp.int8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=8,
         grid=(NPAGES,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # xt (HBM)
@@ -522,13 +634,16 @@ def pallas_fused_ldiv(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((KA + 1, Rp, cs), dtype),
-        input_output_aliases={5: 0},  # xt buffer reused as output
+        input_output_aliases={8: 0},  # xt buffer reused as output
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         jnp.asarray(ops.src),
         jnp.asarray(ops.dst),
         jnp.asarray(ops.acc),
+        jnp.asarray(ops.delta),
+        jnp.asarray(ops.lo),
+        jnp.asarray(ops.hi),
         jnp.asarray(ops.page_kind),
         jnp.asarray(ops.page_off),
         xt,

@@ -166,7 +166,11 @@ def staged_extension(A: sp.spmatrix, cs: int, cutoff: int = None):
     A = sp.csc_matrix(A)
     A.sort_indices()
     n = A.shape[0]
-    cutoff = cutoff if cutoff is not None else max(32, cs // 2)
+    # default cutoff = cs: on the byte-bound fused kernel the stream cost
+    # is tile COUNT x 64KB, and whole-chunk subdomains pack denser tiles
+    # (measured, 2D Poisson n=10k cs=128: 309 -> 237 off-diag tiles per
+    # factor, 8 -> 7 levels, model 103 -> 82 us vs the old cs//2 default)
+    cutoff = cutoff if cutoff is not None else max(32, cs)
     S = (A + A.T).tocsr()
     S.sort_indices()
     groups = _dissect_banded(S, cutoff, cs)
