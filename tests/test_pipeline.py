@@ -102,3 +102,54 @@ def test_overlapped_pair_matches_sequential(rng):
                                micro_panels=4, tri_mode="trsm")
     np.testing.assert_allclose(np.asarray(fused), np.asarray(seq),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_pipeline_sharded_output(rng):
+    """VERDICT r2 #5: replicate=False keeps the solution distributed.
+
+    Checks (a) the gathered shards match the replicated solve, (b) the
+    output is genuinely sharded over the mesh axis, and (c) the compiled
+    program contains NO all-reduce — only the halo collective-permutes
+    plus the boundary exchange of the sharded un-pivot."""
+    import jax
+
+    A = block_banded(rng, 32, 16)
+    n = A.shape[0]
+    D = 4
+    F = ParallelSparseLU(A, chunk_size=8)
+    mesh = make_mesh(D)
+    solve_r = make_pipeline_ldiv(F, mesh, micro_panels=2)
+    solve_s = make_pipeline_ldiv(F, mesh, micro_panels=2, replicate=False)
+    assert solve_s is not None
+    b = rng.random((n, 4))
+    x_ref = np.asarray(solve_r(b))
+    xs = solve_s(b)
+    assert xs.shape[0] >= n and xs.shape[0] % D == 0  # padded, sharded rows
+    spec = xs.sharding.spec
+    assert spec[0] is not None  # row axis actually partitioned
+    got = np.asarray(xs)  # gathers the shards
+    np.testing.assert_allclose(got[:n], x_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got[n:], 0.0)
+    # no psum anywhere: collective-permute only — lower the inner jitted
+    # run directly for the HLO check
+    import jax.numpy as jnp
+    run = None
+    for cell in solve_s.__closure__ or ():
+        v = cell.cell_contents
+        if callable(v) and getattr(v, "__name__", "") == "run":
+            run = v
+    assert run is not None
+    args = (F.ldata, F.udata, F._pperm, F._qperm, F._rs_blk,
+            jnp.asarray(b, jnp.float64))
+    txt = run.lower(*args).compile().as_text()
+    assert "all-reduce" not in txt, "sharded pipeline must not psum"
+    assert "collective-permute" in txt
+
+
+def test_pipeline_sharded_output_single_rhs(rng):
+    A = laplacian_1d(200)
+    F = ParallelSparseLU(A, chunk_size=8)
+    solve = make_pipeline_ldiv(F, make_mesh(4), replicate=False)
+    b = rng.random(200)
+    x = np.asarray(solve(b))
+    assert_isapprox(x[:200], spla.spsolve(A, b), rtol=TOL, atol=TOL)

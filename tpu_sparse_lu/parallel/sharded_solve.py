@@ -220,7 +220,8 @@ def sharded_ldiv(
 
 
 def make_sharded_ldiv(F, mesh: Mesh, axis: str = "chunks",
-                      *, multihost: bool = False):
+                      *, multihost: bool = False,
+                      shard_output: bool = False):
     """Build a jitted mesh-parallel ``ldiv`` from a ``ParallelSparseLU``.
 
     Returns ``solve(b)`` accepting ``(n,)`` or ``(n, R)``; the solve runs
@@ -234,6 +235,13 @@ def make_sharded_ldiv(F, mesh: Mesh, axis: str = "chunks",
     as GLOBAL arrays once up front and each call replicates the
     process-local RHS — the per-level psum then rides ICI within a host
     and DCN across hosts.
+
+    With ``shard_output=True`` the returned solution is PARTITIONED over
+    the mesh axis (contiguous row blocks, ``out_specs=P(axis)``) instead
+    of replicated — rows are padded to ``D * ceil(n/D)`` with zeros past
+    ``n``. The engine's internal carrier stays window-replicated (that is
+    its design — one psum per level), but downstream sharded consumers
+    get an O(n/D)-per-device result. (VERDICT r2 #5.)
     """
     D = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     lsp = build_sharded_tri_plan(F.plan.lplan, D)
@@ -243,15 +251,27 @@ def make_sharded_ldiv(F, mesh: Mesh, axis: str = "chunks",
     n_in, K_in = F._n_orig, F._K_in
 
     prec = F.config.matmul_precision
+    Sh = -(-n_in // D)  # rows per device in the sharded output
 
     @jax.jit
     def run(ldata, udata, pperm, qperm, rs_blk, b):
         with jax.default_matmul_precision(prec):
-            return sharded_ldiv(
+            x = sharded_ldiv(
                 mesh, axis, plan, lsp, usp, ldata, udata,
                 pperm, qperm, rs_blk, b,
                 n_in=n_in, K_in=K_in, tri_mode=tri_mode,
             )
+            if not shard_output:
+                return x
+            xp = jnp.pad(x, ((0, D * Sh - n_in), (0, 0)))
+
+            @partial(shard_map, mesh=mesh, in_specs=P(),
+                     out_specs=P(axis), check_vma=False)
+            def my_rows(xp):
+                d = lax.axis_index(axis)
+                return lax.dynamic_slice_in_dim(xp, d * Sh, Sh, 0)
+
+            return my_rows(xp)
 
     args = (F.ldata, F.udata, F._pperm, F._qperm, F._rs_blk)
     if multihost:
