@@ -142,3 +142,45 @@ def test_staged_extension_structure(rng):
     f = factorize_host(A_ext, permc_spec="NATURAL", diag_pivot_thresh=0.0)
     lp = plan_triangular(f.L, cs, lower=True)
     assert lp.num_levels <= 14, lp.num_levels
+
+
+def test_plan_maps_native_matches_numpy(rng):
+    """The C++ plan_maps pass (utils/_symcore.cpp) against the NumPy
+    fallback, over both factors, with and without extra closure tiles."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from tpu_sparse_lu import symbolic
+    from tpu_sparse_lu.models import fe_block_matrix, poisson_2d
+
+    try:
+        from tpu_sparse_lu.utils import _symcore
+    except ImportError:
+        pytest.skip("native core not built")
+
+    for A in (poisson_2d(30, 30), fe_block_matrix(rng, 40, 5)):
+        lu = spla.splu(sp.csc_matrix(A).astype(float), permc_spec="COLAMD")
+        for M, lower in ((lu.L.tocsc(), True), (lu.U.tocsc(), False)):
+            M.sort_indices()
+            extras = [None, [(5, 2), (7, 1)] if lower else [(2, 5), (1, 7)]]
+            for extra in extras:
+                p_nat = symbolic.plan_triangular(
+                    M, 8, lower=lower, extra_tiles=extra)
+                orig = _symcore.plan_maps
+
+                def bomb(*a):
+                    raise ImportError("forced fallback")
+
+                _symcore.plan_maps = bomb
+                try:
+                    p_np = symbolic.plan_triangular(
+                        M, 8, lower=lower, extra_tiles=extra)
+                finally:
+                    _symcore.plan_maps = orig
+                assert p_nat.K == p_np.K and p_nat.T == p_np.T
+                for f in ("tile_brow", "tile_bcol", "diag_dest",
+                          "offdiag_dest", "level_chunks", "level_tiles",
+                          "pad_idx"):
+                    np.testing.assert_array_equal(
+                        np.asarray(getattr(p_nat, f)),
+                        np.asarray(getattr(p_np, f)), err_msg=f)

@@ -52,6 +52,11 @@ def bidiag_bands(M: sp.csc_matrix, *, lower: bool) -> Optional[dict]:
     """
     M = sp.csc_matrix(M)
     n = M.shape[0]
+    # a bidiagonal factor has at most 2n-1 nonzeros: bail before building
+    # any nnz-length temporaries (this probe runs on EVERY factorization,
+    # including 58M-nnz ones where the full check costs seconds)
+    if M.nnz > 2 * n - 1:
+        return None
     rows = M.indices
     cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(M.indptr))
     d = rows - cols if lower else cols - rows

@@ -264,35 +264,79 @@ def plan_triangular(
 
     indptr, rows = M.indptr, M.indices
     nnz = rows.shape[0]
-    cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-    brow = rows // cs
-    bcol = cols // cs
 
-    offdiag_mask = brow > bcol if lower else brow < bcol
-    diag_mask = brow == bcol
-    # Sanity: a triangular factor has no entries on the wrong side.
-    if not np.all(offdiag_mask | diag_mask):
-        bad = np.count_nonzero(~(offdiag_mask | diag_mask))
-        raise ValueError(
-            f"{bad} entries on the wrong side of the diagonal for "
-            f"{'lower' if lower else 'upper'} factor"
-        )
-
-    # --- off-diagonal tiles -------------------------------------------------
-    # Tiles are keyed as brow*K + bcol; np.unique on keys replaces any
-    # per-nonzero Python loop (23s -> ms at n=250k).
-    od_keys = brow[offdiag_mask] * np.int64(K) + bcol[offdiag_mask]
+    extra_keys = np.zeros(0, dtype=np.int64)
     if extra_tiles is not None:
         extra = np.asarray(sorted(set(map(tuple, extra_tiles))), dtype=np.int64)
         if extra.size:
             bad = extra[:, 0] <= extra[:, 1] if lower else extra[:, 0] >= extra[:, 1]
             if np.any(bad):
                 raise ValueError("extra_tiles on the wrong side of the diagonal")
-            od_keys = np.concatenate([od_keys, extra[:, 0] * np.int64(K) + extra[:, 1]])
-    uniq_keys = np.unique(od_keys)
-    T = uniq_keys.shape[0]
-    ub = uniq_keys // K
-    uc = uniq_keys % K
+            extra_keys = extra[:, 0] * np.int64(K) + extra[:, 1]
+
+    # --- tile keys + pack scatter maps (one native pass when available) ----
+    # C++ core: the O(nnz) middle (unique tile keys + per-nonzero pack
+    # destinations, the reference's fill_chunks! dest computation,
+    # src:180-243) in one pass — the NumPy version below materializes
+    # several nnz-length temporaries (~21 s of a 53 s n=90k construct).
+    native = None
+    try:
+        from .utils import _symcore
+
+        # int32/int64 CSC index arrays are read in place (zero-copy)
+        native = _symcore.plan_maps(
+            indptr, rows, cs, K, bool(lower), extra_keys,
+        )
+    except ImportError:
+        pass
+    if native is not None:
+        uniq_keys, diag_dest, offdiag_dest = native
+        T = uniq_keys.shape[0]
+        ub = uniq_keys // K
+        uc = uniq_keys % K
+    else:
+        cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        brow = rows // cs
+        bcol = cols // cs
+
+        offdiag_mask = brow > bcol if lower else brow < bcol
+        diag_mask = brow == bcol
+        # Sanity: a triangular factor has no entries on the wrong side.
+        if not np.all(offdiag_mask | diag_mask):
+            bad = np.count_nonzero(~(offdiag_mask | diag_mask))
+            raise ValueError(
+                f"{bad} entries on the wrong side of the diagonal for "
+                f"{'lower' if lower else 'upper'} factor"
+            )
+
+        # Tiles are keyed as brow*K + bcol; np.unique on keys replaces any
+        # per-nonzero Python loop (23s -> ms at n=250k).
+        od_keys = brow[offdiag_mask] * np.int64(K) + bcol[offdiag_mask]
+        if extra_keys.size:
+            od_keys = np.concatenate([od_keys, extra_keys])
+        uniq_keys = np.unique(od_keys)
+        T = uniq_keys.shape[0]
+        ub = uniq_keys // K
+        uc = uniq_keys % K
+
+        # --- pack scatter maps (reference fill_chunks!, src:180-243) --------
+        lr = rows % cs
+        lc = cols % cs
+        # Destinations for the "other" buffer are one-past-the-end: the
+        # packer scatters with mode='drop', so these vanish instead of
+        # polluting the dummy tiles.
+        diag_dest = np.full(nnz, (K + 1) * cs * cs, dtype=np.int64)
+        offdiag_dest = np.full(nnz, (T + 1) * cs * cs, dtype=np.int64)
+        dsel = diag_mask
+        diag_dest[dsel] = (brow[dsel] * cs + lr[dsel]) * cs + lc[dsel]
+        osel = offdiag_mask
+        if np.any(osel):
+            # tile id of each nonzero = position of its key in uniq_keys
+            t_of_nz = np.searchsorted(
+                uniq_keys, brow[osel] * np.int64(K) + bcol[osel]
+            )
+            offdiag_dest[osel] = (t_of_nz * cs + lr[osel]) * cs + lc[osel]
+
     tile_brow = np.concatenate([ub, [K]]).astype(np.int32)
     tile_bcol = np.concatenate([uc, [K]]).astype(np.int32)
 
@@ -320,24 +364,6 @@ def plan_triangular(
         level_tiles[l, : len(tiles_at[l])] = tiles_at[l]
     level_chunk_counts = np.array([len(c) for c in chunks_at], dtype=np.int32)
     level_tile_counts = np.array([len(t) for t in tiles_at], dtype=np.int32)
-
-    # --- pack scatter maps (reference fill_chunks!, src:180-243) ------------
-    lr = rows % cs
-    lc = cols % cs
-    # Destinations for the "other" buffer are one-past-the-end: the packer
-    # scatters with mode='drop', so these vanish instead of polluting the
-    # dummy tiles.
-    diag_dest = np.full(nnz, (K + 1) * cs * cs, dtype=np.int64)
-    offdiag_dest = np.full(nnz, (T + 1) * cs * cs, dtype=np.int64)
-    dsel = diag_mask
-    diag_dest[dsel] = (brow[dsel] * cs + lr[dsel]) * cs + lc[dsel]
-    osel = offdiag_mask
-    if np.any(osel):
-        # tile id of each nonzero = position of its key in sorted uniq_keys
-        t_of_nz = np.searchsorted(
-            uniq_keys, brow[osel] * np.int64(K) + bcol[osel]
-        )
-        offdiag_dest[osel] = (t_of_nz * cs + lr[osel]) * cs + lc[osel]
 
     # --- padding identity for diagonal tiles --------------------------------
     tail = n % cs
