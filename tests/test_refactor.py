@@ -328,3 +328,103 @@ def test_windowed_assembly_matches_dense_reference(rng, make, cs):
     assert_isapprox(tiles[TF], np.eye(cs, dtype=np.float32),
                     rtol=0, atol=0)
     assert not tiles[TF + 1].any()
+
+
+def test_fused_elimination_matches_xla(rng):
+    """ops/pallas_elim.py (interpret mode) against _blocked_elimination on
+    a real refactor plan: same factored store, pivot diagnostics, and
+    per-level inverse stacks."""
+    import jax.numpy as jnp
+
+    from tpu_sparse_lu import ParallelSparseLU, SolverConfig
+    from tpu_sparse_lu.assemble import assemble_windowed
+    from tpu_sparse_lu.models import block_banded
+    from tpu_sparse_lu.ops.pallas_elim import fused_elimination
+    from tpu_sparse_lu.refactor import _blocked_elimination
+
+    A = block_banded(rng, 24, 12)
+    F = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=16, tri_mode="inv", dtype="float32"))
+    F.enable_device_refactor()
+    rp = F._refactor_plan
+    dev = F._refactor_dev
+    cs = rp.cs
+    tiles, _ = assemble_windowed(
+        jnp.asarray(A.data, jnp.float32), dev, n=rp.n, cs=cs, TF=rp.TF,
+        TF2=rp.win.TF2, W=rp.win.W, R1=rp.win.R1, Np=rp.win.Np)
+    args = (dev["diag_ids"], dev["diag_cnt"], dev["row_ids"],
+            dev["row_owner"], dev["col_ids"], dev["col_owner"],
+            dev["schur"])
+    t_ref, mp_ref, li_ref, ui_ref = _blocked_elimination(tiles, *args, cs=cs)
+    NL, BL = dev["diag_ids"].shape
+    t_got, mp_got, li_got, ui_got = fused_elimination(
+        tiles, *args, cs=cs, NL=NL, BL=BL,
+        MR=dev["row_ids"].shape[1], MU=dev["col_ids"].shape[1],
+        MS=dev["schur"].shape[1], interpret=True)
+    # compare on REAL tiles only (the padded dummy slot accumulates
+    # schedule-dependent garbage by design in both implementations)
+    np.testing.assert_allclose(
+        np.asarray(t_got[:rp.TF]), np.asarray(t_ref[:rp.TF]),
+        rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(float(mp_got), float(mp_ref), rtol=1e-5)
+    # real level slots only
+    cnt = np.asarray(dev["diag_cnt"])
+    for l in range(NL):
+        for b in range(int(cnt[l])):
+            np.testing.assert_allclose(
+                np.asarray(li_got[l, b]), np.asarray(li_ref[l, b]),
+                rtol=2e-5, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(ui_got[l, b]), np.asarray(ui_ref[l, b]),
+                rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("make", [
+    lambda rng: block_banded(rng, 24, 12),
+    lambda rng: poisson_2d(14, 11),
+])
+def test_span_gather_matches_windowed(rng, make):
+    """The Pallas span-gather front-end (ops/pallas_span.py, interpret
+    mode) against the windowed XLA path on the same plan — banded
+    (no leftovers) and scattered (contested rows -> leftover scatter)."""
+    import jax.numpy as jnp
+
+    from tpu_sparse_lu import ParallelSparseLU, SolverConfig
+    from tpu_sparse_lu.models import block_banded, poisson_2d  # noqa: F401
+    from tpu_sparse_lu.ops.pallas_span import span_gather
+
+    A = make(rng)
+    F = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=16, tri_mode="inv", dtype="float32"))
+    F.enable_device_refactor()
+    rp = F._refactor_plan
+    dev = F._refactor_dev
+    cs = rp.cs
+    W, R1, Np, TF2 = rp.win.W, rp.win.R1, rp.win.Np, rp.win.TF2
+    a_data = jnp.asarray(A.data, jnp.float32)
+    nnz = int(a_data.shape[0])
+    n_rows = (TF2 + 1) * cs
+
+    # windowed reference
+    a_pad = jnp.pad(a_data, (W, Np - W - nnz))
+    a_big = jnp.concatenate(
+        [a_pad[s:s + R1 * W].reshape(R1, W) for s in range(W)], axis=0)
+    upd = jnp.take(a_big, dev["win_src"], axis=0, mode="clip")
+    upd = upd * dev["win_mask"].astype(jnp.float32)
+    M2 = (TF2 + 1) * cs * cs
+    st = jnp.zeros((M2 // W, W), jnp.float32).at[dev["win_dst"]].set(
+        upd, mode="drop", unique_indices=True)
+    want = st.reshape(n_rows, cs)
+    if dev["left_src"].shape[0]:
+        want = want.at[dev["left_row"], dev["left_col"]].set(
+            a_data[dev["left_src"]], mode="drop", unique_indices=True)
+
+    # span path (interpret)
+    Nq = nnz // cs + 3
+    a2 = jnp.pad(a_data, (cs, Nq * cs - cs - nnz)).reshape(Nq, cs)
+    got = span_gather(a2, dev["span_g"], dev["span_lo"], dev["span_hi"],
+                      n_rows=n_rows, interpret=True)
+    if dev["span_left_src"].shape[0]:
+        got = got.at[dev["span_left_row"], dev["span_left_col"]].set(
+            a_data[dev["span_left_src"]], mode="drop", unique_indices=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

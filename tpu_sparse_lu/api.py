@@ -95,6 +95,17 @@ class ParallelSparseLU:
         cs = max(1, min(cs, A.shape[0]))  # reference clamp, src:72
         self._n_orig = A.shape[0]
         self.dtype = _resolve_dtype(self.config.dtype, A.dtype)
+        if (self.config.tri_mode == "trsm"
+                and self.dtype == jnp.dtype(jnp.float64)
+                and jax.default_backend() == "tpu"):
+            # measured (v5e, 2026-08-19): f64 lax.linalg.triangular_solve
+            # faults the TPU runtime outright — fail fast with a usable
+            # message instead of killing the worker mid-solve
+            raise ValueError(
+                "tri_mode='trsm' with float64 crashes this TPU runtime "
+                "(XLA triangular_solve kernel fault); use tri_mode='inv' "
+                "or 'inv_refine' for the f64 tier on TPU"
+            )
 
         # nested-dissection embedding (config.ordering="nd"): factor an
         # extended matrix whose chunks align with the dissection stages
@@ -717,6 +728,12 @@ class ParallelSparseLU:
             "left_col": jnp.asarray(rp.win.left_col),
             "ones_row": jnp.asarray(rp.win.ones_row),
             "ones_col": jnp.asarray(rp.win.ones_col),
+            "span_g": jnp.asarray(rp.win.span_g),
+            "span_lo": jnp.asarray(rp.win.span_lo),
+            "span_hi": jnp.asarray(rp.win.span_hi),
+            "span_left_src": jnp.asarray(rp.win.span_left_src),
+            "span_left_row": jnp.asarray(rp.win.span_left_row),
+            "span_left_col": jnp.asarray(rp.win.span_left_col),
             "brow2_tiles": jnp.asarray(rp.win.brow2_tiles),
             "tile_brow2": jnp.asarray(rp.win.tile_brow2),
             "permrow_src": jnp.asarray(rp.win.permrow_src),

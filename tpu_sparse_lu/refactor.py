@@ -471,15 +471,32 @@ def _refactor_pipeline(a_data, dev, *, n, cs, TF, TF2, W, R1, Np, tri_mode):
     dispatch per refactorization — through an RPC-tunneled device, eager
     per-op round-trips (~0.7-3 ms each) would otherwise dominate the
     numeric work many times over (measured)."""
+    from .ops.pallas_elim import fused_elimination, supports_fused_elim
+
     tiles, rs = assemble_windowed(
         a_data, dev, n=n, cs=cs, TF=TF, TF2=TF2, W=W, R1=R1, Np=Np,
     )
-    tiles, min_piv, linv_lv, uinv_lv = _blocked_elimination(
-        tiles, dev["diag_ids"], dev["diag_cnt"],
-        dev["row_ids"], dev["row_owner"],
-        dev["col_ids"], dev["col_owner"], dev["schur"],
-        cs=cs,
-    )
+    NL, BL = dev["diag_ids"].shape
+    MR = dev["row_ids"].shape[1]
+    MU = dev["col_ids"].shape[1]
+    MS = dev["schur"].shape[1]
+    if supports_fused_elim(cs, TF, NL, BL, MR, MU, MS):
+        # thin levels: the whole elimination as ONE Pallas program with
+        # the store VMEM-resident across levels (ops/pallas_elim.py) —
+        # the XLA scan pays ~40 us/level of per-op overhead on chains
+        tiles, min_piv, linv_lv, uinv_lv = fused_elimination(
+            tiles, dev["diag_ids"], dev["diag_cnt"],
+            dev["row_ids"], dev["row_owner"],
+            dev["col_ids"], dev["col_owner"], dev["schur"],
+            cs=cs, NL=NL, BL=BL, MR=MR, MU=MU, MS=MS,
+        )
+    else:
+        tiles, min_piv, linv_lv, uinv_lv = _blocked_elimination(
+            tiles, dev["diag_ids"], dev["diag_cnt"],
+            dev["row_ids"], dev["row_owner"],
+            dev["col_ids"], dev["col_owner"], dev["schur"],
+            cs=cs,
+        )
     ldiag, udiag, loff, uoff = _extract_solve_tiles(
         tiles, dev["diag_src"], dev["l_off_src"], dev["u_off_src"], cs=cs
     )
