@@ -111,7 +111,11 @@ def _phase_breakdown(F, b, t_full):
         "rsolve": _chain_time(
             ((lambda v, ud: exe_u(ud, v)), (F.udata,)), bf, name="rsolve"),
     }
-    # MFU: every scheduled tile op is a cs x cs x R matmul
+    # MFU: every scheduled tile op is a cs x cs x R matmul. NOTE the
+    # ceiling: at R RHS the fused solve's arithmetic intensity is 2R/4
+    # flops per streamed byte vs the machine balance ~57 (49 TF/s /
+    # 855 GB/s) — an HBM-bound solve caps MFU at ~R/114 no matter how
+    # good the kernel is, so the speed-of-light metric is hbm_eff below.
     R = b.shape[1]
     n_tiles = (plan.lplan.K + plan.lplan.T + plan.uplan.K + plan.uplan.T)
     if F._ldiv_ops is not None:
@@ -120,6 +124,26 @@ def _phase_breakdown(F, b, t_full):
     PEAK_F32 = 49e12  # v5e ~197 TFLOP/s bf16 -> ~49 full-f32
     phases["mfu_est"] = tile_flops / t_full / PEAK_F32
     phases["tile_ops"] = n_tiles
+    if F._ldiv_ops is not None:
+        # stream bytes actually DMA'd per solve + HBM efficiency vs the
+        # ~819 GB/s v5e spec — the honest utilization figure for a
+        # byte-bound direct solve (round-3 cost model: ~12 ns/op fixed
+        # + bytes at ~855 GB/s, see ops/pallas_ldiv.py)
+        from tpu_sparse_lu.ops.pallas_ldiv import PAGE, SRC_SHIFT
+
+        ops = F._ldiv_ops
+        pk = np.asarray(ops.page_kind)
+        slots = {
+            "f32": int((pk == 1).sum()) * PAGE,
+            "int8": int((pk == 0).sum()) * PAGE,
+            "shift": int((pk == 2).sum()) * PAGE,
+        }
+        panel_io = 2 * (F._K_in + 1) * cs * max(8, R) * 4
+        stream_bytes = (slots["f32"] * cs * cs * 4
+                        + slots["int8"] * cs * cs + panel_io)
+        phases["stream_slots"] = slots
+        phases["stream_bytes"] = stream_bytes
+        phases["hbm_eff"] = stream_bytes / t_full / 819e9
     return phases
 
 
@@ -175,10 +199,13 @@ def bench_config(cfg_id: int) -> dict:
         from jax import lax
 
         A = block_banded(rng, 120, 30)
-        # colamd: measured faster end-to-end than nd here (2.07 vs 4.67
-        # ms/step with the windowed assembly) — nd's extension embedding
-        # costs a per-element nnz gather and its fill (TF 192 vs 85)
-        # outweighs the level-batched elimination (6 levels vs 29)
+        # colamd: measured faster end-to-end than nd here. Re-measured
+        # 2026-08-19 with the nd value-map folded into the windowed
+        # assembly: nd 3.32 ms/step vs colamd 1.87 (was 4.67 before the
+        # fold) — nd's extra fill (TF 192 vs 85 merged tiles) still
+        # outweighs its shallower elimination (6 levels vs 29), and the
+        # fused Pallas elimination has since removed the per-level cost
+        # that made depth matter
         F = _make_F(A, 128)
         step = F.make_refactor_solve_step()
         data0 = jnp.asarray(A.data, dtype=jnp.float32)
@@ -258,8 +285,15 @@ def bench_config(cfg_id: int) -> dict:
         A = poisson_2d(100, 100)
         R = 16
         # schedule left at "auto": on TPU the XLA engine always scans
-        # (solve._prefers_unrolled) and the fused Pallas kernel ignores it
-        F = _make_F(A, 128, ordering="nd")
+        # (solve._prefers_unrolled) and the fused Pallas kernel ignores it.
+        # nd_cutoff=512 (4-chunk subdomains): the fused solve is stream-
+        # byte-bound, so FEWER/denser tiles beat less fill — swept slot
+        # model on this matrix (f32/shift slots, 88.9/20 ns):
+        #   cutoff 128: 672/640 -> 73 us   256: 576/384 -> 59 us
+        #   cutoff 512: 544/320 -> 55 us   768: plateau
+        # at +30% factor nnz (2.6M -> 3.4M), which the byte model says is
+        # the right trade
+        F = _make_F(A, 128, ordering="nd", nd_cutoff=512)
         fused = F._ldiv_ops is not None and supports_fused_ldiv(
             F._ldiv_ops, R)
         log(f"config4: n={A.shape[0]} nnzLU={F.L.nnz + F.U.nnz} "
@@ -398,18 +432,71 @@ def _pipeline_scaling_proxy(F, R, t1, micro_panels=4):
                 per_D=rows)
 
 
+def _f64_probe() -> dict:
+    """fp64 accuracy/perf tier on the device (VERDICT r2 #7) against the
+    reference's full-f64 UMFPACK bar (runtests.jl:25-26 tolerances).
+
+    Runs in THIS process, which must have been started with
+    ``--f64-probe`` (x64 is process-global and cannot be toggled around
+    cached f32 executables) — see main(). tri_mode='inv' only: f64
+    ``lax.linalg.triangular_solve`` ('trsm') crashes this TPU runtime
+    (reproducible kernel fault through the axon tunnel, 2026-08-19), so
+    the supported f64 path is inverse-apply, whose matmuls XLA emulates
+    in software on the f64-less MXU.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_sparse_lu import ParallelSparseLU, SolverConfig
+    from tpu_sparse_lu.models import poisson_2d
+
+    assert jax.config.jax_enable_x64
+    rng = np.random.default_rng(0)
+    A = poisson_2d(100, 100)
+    R = 16
+    F = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=128, tri_mode="inv", dtype="float64", ordering="nd"))
+    b = jnp.asarray(rng.random((A.shape[0], R)), jnp.float64)
+    x = np.asarray(F.ldiv(b))
+    bn = np.asarray(b)
+    resid = float(np.linalg.norm(A @ x - bn) / (
+        spla.norm(A) * np.linalg.norm(x) + np.linalg.norm(bn)))
+    xs = spla.spsolve(A.tocsc(), bn)
+    rel = float(np.linalg.norm(x - xs) / np.linalg.norm(xs))
+    exe, fargs = F._ldiv_callable()
+    t = _chain_time(((lambda v, *a: exe(*a, v)), fargs), b)
+    t_base = _scipy_panel_time(A, R)
+    return dict(tri_mode="inv", n=A.shape[0], R=R, t_ours=t,
+                t_scipy=t_base, bwd_err=resid, rel_err_vs_scipy_f64=rel,
+                meets_1e12_bar=rel < 1e-12 or resid < 1e-12,
+                vs_baseline=_per(t_base, t),
+                trsm_note=("tri_mode='trsm' in f64 crashes the TPU "
+                           "runtime (XLA triangular_solve kernel fault, "
+                           "axon v5e, 2026-08-19); 'inv'/'inv_refine' "
+                           "are the supported f64 tiers"))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=None)
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--f64-probe", action="store_true")
     args = ap.parse_args()
 
     import jax
+
+    if args.f64_probe:
+        # own process: x64 must be set before any trace exists
+        jax.config.update("jax_enable_x64", True)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu_sparse_lu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     dev = jax.devices()[0]
     log(f"device: {dev.platform} ({dev.device_kind})")
+
+    if args.f64_probe:
+        print(json.dumps(_f64_probe()))
+        return
 
     if args.all:
         detail = {}
@@ -420,6 +507,19 @@ def main():
             except Exception as e:  # keep the suite going
                 detail[c] = {"error": str(e)}
                 log(f"config {c} FAILED: {e}")
+        # f64 tier in a SUBPROCESS: jax_enable_x64 is process-global and
+        # cannot be flipped under this process's cached f32 executables
+        import subprocess
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--f64-probe"],
+                capture_output=True, text=True, timeout=1200, check=True,
+            )
+            detail["f64_tier"] = json.loads(out.stdout.strip().splitlines()[-1])
+            log(f"f64 tier: {detail['f64_tier']}")
+        except Exception as e:
+            detail["f64_tier"] = {"error": str(e)}
+            log(f"f64 probe FAILED: {e}")
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f, indent=2)
         r = detail.get(4, {})
