@@ -65,28 +65,32 @@ def supports_fused_elim(cs: int, TF: int, NL: int, BL: int,
 
 
 def _lu_nopivot_2d(T):
-    """Dense no-pivot LU of one (cs, cs) tile in registers — merged L\\U,
-    same masked-reduction formulation as ops/pallas_factor.py."""
+    """Dense no-pivot LU of one (cs, cs) tile in registers — merged L\\U.
+
+    The loop is THROUGHPUT-bound on full-(cs,cs) vector passes (~14 ns
+    each, ~13 per step at cs=128), so scalars (the pivot) are extracted
+    from the (1,cs) urow — single-vreg ops, never full-tile reductions
+    (measured 0.86 -> 0.73 ms on the config-2 elimination). Measured
+    dead ends on v5e, do not retry: full fori unroll (icache, 0.93 ms),
+    roll-based row extraction (0.99 ms), rank-2 steps with a combined
+    K=2 MXU update (1.03 ms — small-K matmuls and lane concats cost more
+    than the saved passes).
+    """
     cs = T.shape[-1]
     ridx = lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
     cidx = lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
 
     def step(i, D):
-        # three INDEPENDENT masked reductions (pallas_factor.py derives
-        # piv from urow, adding a serial stage to a latency-bound chain)
         urow = jnp.sum(jnp.where(ridx == i, D, 0.0), axis=-2, keepdims=True)
         col = jnp.sum(jnp.where(cidx == i, D, 0.0), axis=-1, keepdims=True)
         piv = jnp.sum(
-            jnp.where((ridx == i) & (cidx == i), D, 0.0),
-            axis=(-2, -1), keepdims=True,
+            jnp.where(cidx[:1, :] == i, urow, 0.0), axis=-1, keepdims=True
         )
         low = jnp.where(ridx[:, :1] > i, col / piv, 0.0)
         urow_m = jnp.where(cidx[:1, :] > i, urow, 0.0)
         D = D - low * urow_m
         return jnp.where((cidx == i) & (ridx > i), low, D)
 
-    # (Mosaic restricts unrolling to 1 or num_steps; full unroll measured
-    # SLOWER: 0.93 vs 0.71 ms on the config-2 elimination — icache blow)
     return lax.fori_loop(0, cs, step, T)
 
 
