@@ -455,14 +455,26 @@ def supports_fused_ldiv(ops: Optional[LdivOps], R: int,
     pages = 2 * PAGE * cs * cs * (itemsize + 1)  # f32 + int8 ring buffers
     if panel + pages >= _VMEM_BUDGET:
         return False
-    if (ops.src.shape[0] * 6 + ops.page_kind.shape[0] * 2) * 4 >= _SMEM_BUDGET:
+    # 3 scalar words per slot: src, dst, and the packed
+    # (acc | delta | lo | hi) meta word (see _pack_meta)
+    if (ops.src.shape[0] * 3 + ops.page_kind.shape[0] * 2) * 4 >= _SMEM_BUDGET:
         return False
     return True
 
 
+def _pack_meta(ops: LdivOps) -> np.ndarray:
+    """One int32 per slot: acc (bit 0) | delta (bits 1-8) | lo (9-17) |
+    hi (18-26). Keeps the scalar-prefetch SMEM footprint at 3 words per
+    slot (the shift-op scalars as separate arrays doubled it and pushed
+    large plans off the fused path at n ~ 90k)."""
+    assert ops.cs <= 256
+    return (ops.acc | (ops.delta << 1) | (ops.lo << 9)
+            | (ops.hi << 18)).astype(np.int32)
+
+
 def _kernel(
-    src_ref, dst_ref, acc_ref,    # scalar prefetch (Npad,) each
-    delta_ref, lo_ref, hi_ref,    # scalar prefetch (Npad,) — shift ops
+    src_ref, dst_ref, meta_ref,   # scalar prefetch (Npad,) each; meta =
+                                  # acc | delta<<1 | lo<<9 | hi<<18
     kind_ref, off_ref,            # scalar prefetch (NPAGES,) each
     in_hbm,        # (KA+1, Rp, cs) HBM — scaled, blocked, transposed RHS
     sperm_hbm,     # (N8, cs, cs) int8 HBM — transposed perm tile stream
@@ -534,7 +546,7 @@ def _kernel(
             for j in range(GROUP_MM):
                 i = pg * PAGE + g + j
                 d = dst_ref[i]
-                a = acc_ref[i]
+                a = meta_ref[i] & 1
                 x[d] = y[j].astype(x.dtype) + a.astype(x.dtype) * x[d]
 
     slot = off_ref[pg] % 2
@@ -569,13 +581,15 @@ def _kernel(
             ys = []
             for j in range(GROUP_SHIFT):
                 i = pg * PAGE + g + j
-                r = pltpu.roll(xs[j], delta_ref[i], 1)
-                m = (lane >= lo_ref[i]) & (lane < hi_ref[i])
+                meta = meta_ref[i]
+                r = pltpu.roll(xs[j], (meta >> 1) & 255, 1)
+                m = (lane >= ((meta >> 9) & 511)) & (lane < (meta >> 18))
                 ys.append(jnp.where(m, r, jnp.zeros_like(r)))
             for j in range(GROUP_SHIFT):
                 i = pg * PAGE + g + j
                 d = dst_ref[i]
-                x[d] = ys[j] + acc_ref[i].astype(x.dtype) * x[d]
+                a = meta_ref[i] & 1
+                x[d] = ys[j] + a.astype(x.dtype) * x[d]
 
     @pl.when(pg == NPAGES - 1)
     def _():
@@ -610,7 +624,7 @@ def pallas_fused_ldiv(
         stream_perm = jnp.zeros((PAGE, cs, cs), jnp.int8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=5,
         grid=(NPAGES,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # xt (HBM)
@@ -634,16 +648,13 @@ def pallas_fused_ldiv(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((KA + 1, Rp, cs), dtype),
-        input_output_aliases={8: 0},  # xt buffer reused as output
+        input_output_aliases={5: 0},  # xt buffer reused as output
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         jnp.asarray(ops.src),
         jnp.asarray(ops.dst),
-        jnp.asarray(ops.acc),
-        jnp.asarray(ops.delta),
-        jnp.asarray(ops.lo),
-        jnp.asarray(ops.hi),
+        jnp.asarray(_pack_meta(ops)),
         jnp.asarray(ops.page_kind),
         jnp.asarray(ops.page_off),
         xt,
