@@ -32,23 +32,21 @@ from tpu_sparse_lu.solve import block_rhs, unblock_rhs
 
 
 def _build_ops(F):
-    cs = F.plan.cs
     ops = build_ldiv_ops(
-        F._pperm, F.plan.lplan, F.plan.uplan, F._qperm, KA=F._K_in
+        F._pvec, F.plan.lplan, F.plan.uplan, F._qvec, KA=F._K_in
     )
     assert ops is not None
-    permp = F._pperm.tiles.reshape(-1, cs, cs)
-    permq = F._qperm.tiles.reshape(-1, cs, cs)
     sizes = {
-        SRC_PERMP: permp.shape[0],
+        SRC_PERMP: ops.res_p.shape[0],
         SRC_LDINV: F.plan.lplan.K + 1,
         SRC_LOFF: F.plan.lplan.T + 1,
         SRC_UDINV: F.plan.uplan.K + 1,
         SRC_UOFF: F.plan.uplan.T + 1,
-        SRC_PERMQ: permq.shape[0],
+        SRC_PERMQ: ops.res_q.shape[0],
     }
     s_perm = build_perm_stream(
-        jnp.asarray(stream_gather_spec(ops, sizes, 0)), permp, permq
+        jnp.asarray(stream_gather_spec(ops, sizes, 0)),
+        jnp.asarray(ops.res_p), jnp.asarray(ops.res_q),
     )
     s_lu = build_lu_stream(
         jnp.asarray(stream_gather_spec(ops, sizes, 1)),
@@ -105,7 +103,7 @@ def test_op_stream_structure(rng):
     F = ParallelSparseLU(A, chunk_size=8, config=None)
 
     ops = build_ldiv_ops(
-        F._pperm, F.plan.lplan, F.plan.uplan, F._qperm, KA=F._K_in
+        F._pvec, F.plan.lplan, F.plan.uplan, F._qvec, KA=F._K_in
     )
     lplan, uplan = F.plan.lplan, F.plan.uplan
     # coverage: each factor's diag ops == K (SET), off-diag ops == T (ADD)
@@ -134,15 +132,37 @@ def test_op_stream_structure(rng):
     assert np.all(kind_of_slot[perm_slot] == 0)
     assert np.all(kind_of_slot[lu_slot] == 1)
     assert np.all(kind_of_slot[shift_slot] == 2)
-    # every perm pair is covered exactly once: as shift runs (with valid
-    # lane ranges) or as an int8 matmul tile
-    from tpu_sparse_lu.ops.pallas_ldiv import _perm_ops
+    # every perm (dst_chunk, src_chunk) pair is covered exactly once: as
+    # shift runs (with valid lane ranges) or as an int8 residue tile, and
+    # the vector decomposition reproduces the dense one-hot tiles exactly
+    from tpu_sparse_lu.ops.pallas_ldiv import perm_spec
 
-    for pp in (F._pperm, F._qperm):
-        shifts, mm = _perm_ops(pp)
-        covered = len({(d, s) for d, s, *_ in shifts}) + len(mm)
-        real = int(np.sum(np.asarray(pp.tiles).any(axis=(2, 3))))
+    cs8 = F.plan.cs
+    for vec, pp, K_in in ((F._pvec, F._pperm, F._K_in),
+                          (F._qvec, F._qperm, F.plan.lplan.K)):
+        shifts, mm, res = perm_spec(vec, cs8, K_in)
+        covered = {(d, s) for d, s, *_ in shifts} | {(d, s) for d, s, _ in mm}
+        dense = np.asarray(pp.tiles)          # (K, S, cs, cs)
+        srcs = np.asarray(pp.src)
+        real = {(k, int(srcs[k, a]))
+                for k, a in zip(*np.nonzero(dense.any(axis=(2, 3))))}
         assert covered == real
+        # rebuild each pair's one-hot from runs+residue; compare to dense
+        for k in range(dense.shape[0]):
+            for a in range(dense.shape[1]):
+                sc = int(srcs[k, a])
+                if sc >= pp.K_in:
+                    continue
+                want = dense[k, a]
+                got = np.zeros_like(want)
+                for (d, s, dl, l, h) in shifts:
+                    if (d, s) == (k, sc):
+                        lanes = np.arange(l, h)
+                        got[lanes, (lanes - dl) % cs8] = 1
+                for (d, s, t) in mm:
+                    if (d, s) == (k, sc):
+                        got |= res[t]
+                np.testing.assert_array_equal(got, want)
     assert np.all(ops.lo[shift_slot] < ops.hi[shift_slot])
     assert np.all(ops.hi[shift_slot] <= ops.cs)
     # dependency order within L: a chunk's diag solve precedes every op
@@ -163,7 +183,7 @@ def test_supports_fused_ldiv_gates(rng):
         A, config=SolverConfig(chunk_size=8, tri_mode="inv", dtype="float32")
     )
     ops = build_ldiv_ops(
-        F8._pperm, F8.plan.lplan, F8.plan.uplan, F8._qperm, KA=F8._K_in
+        F8._pvec, F8.plan.lplan, F8.plan.uplan, F8._qvec, KA=F8._K_in
     )
     assert not supports_fused_ldiv(ops, 16)          # cs=8 not lane-aligned
     assert not supports_fused_ldiv(None, 16)

@@ -278,6 +278,7 @@ class ParallelSparseLU:
         self._K_in = -(-n_in // cs)
         if self._ext is None:
             n = plan.n
+            self._pvec, self._qvec = plan.p, plan.qinv
             self._pperm = build_perm_plan(plan.p, n, cs)
             self._qperm = build_perm_plan(plan.qinv, n, cs)
             rs_orig = plan.Rs
@@ -290,6 +291,7 @@ class ParallelSparseLU:
             self._pperm = build_perm_plan(comp_p, plan.n, cs, n_in=n_in)
             comp_q = plan.qinv[pos]
             self._qperm = build_perm_plan(comp_q, n_in, cs, n_in=plan.n)
+            self._pvec, self._qvec = comp_p, comp_q
             rs_orig = plan.Rs[pos]  # per ORIGINAL row
         # Rs in input row order: scale before permuting
         # ((Rs .* b)[p] == P(Rs ⊙ b)) — no Rs[p] gather on refactor.
@@ -367,25 +369,24 @@ class ParallelSparseLU:
 
         plan = self.plan
         ops = build_ldiv_ops(
-            self._pperm, plan.lplan, plan.uplan, self._qperm, KA=self._K_in
+            self._pvec, plan.lplan, plan.uplan, self._qvec, KA=self._K_in
         )
         if ops is None:
             return
         cs = plan.cs
-        permp = self._pperm.tiles.reshape(-1, cs, cs)
-        permq = self._qperm.tiles.reshape(-1, cs, cs)
         sizes = {
-            SRC_PERMP: permp.shape[0],
+            SRC_PERMP: ops.res_p.shape[0],
             SRC_LDINV: plan.lplan.K + 1,
             SRC_LOFF: plan.lplan.T + 1,
             SRC_UDINV: plan.uplan.K + 1,
             SRC_UOFF: plan.uplan.T + 1,
-            SRC_PERMQ: permq.shape[0],
+            SRC_PERMQ: ops.res_q.shape[0],
         }
         self._ldiv_ops = ops
         self._ldiv_gather = jnp.asarray(stream_gather_spec(ops, sizes, 1))
         self._ldiv_stream_perm = build_perm_stream(
-            jnp.asarray(stream_gather_spec(ops, sizes, 0)), permp, permq
+            jnp.asarray(stream_gather_spec(ops, sizes, 0)),
+            jnp.asarray(ops.res_p), jnp.asarray(ops.res_q),
         )
         self._ldiv_stream_lu = build_lu_stream(
             self._ldiv_gather,

@@ -163,6 +163,10 @@ class LdivOps:
     delta: np.ndarray      # (Npad,) int32
     lo: np.ndarray         # (Npad,) int32
     hi: np.ndarray         # (Npad,) int32
+    # int8 one-hot residue tiles for runs-dense perm pairs (host arrays;
+    # tile_idx of SRC_PERMP/SRC_PERMQ ops index into these)
+    res_p: np.ndarray      # (n_res_p, cs, cs) int8
+    res_q: np.ndarray      # (n_res_q, cs, cs) int8
 
     @property
     def n_pages(self) -> int:
@@ -178,55 +182,64 @@ class LdivOps:
         return self.KA + self.KB + 2
 
 
-def _perm_pairs(pplan) -> list:
-    """Real (dst_chunk, src_chunk, flat_tile_idx) triples of a PermPlan."""
-    src = np.asarray(pplan.src)  # (K, S)
-    K, S = src.shape
-    out = []
-    for k in range(K):
-        for s in range(S):
-            if src[k, s] < pplan.K_in:  # K_in is the dummy source
-                out.append((k, int(src[k, s]), k * S + s))
-    return out
+def perm_spec(perm, cs: int, K_in: int):
+    """Decompose ``out[i] = v[perm[i]]`` into shift runs + int8 residue,
+    straight from the permutation VECTOR (``perm[i] = -1`` rows are
+    zero). No (K, S, cs, cs) one-hot tiles are materialized — at
+    n ~ 1e5 those hit the PermPlan memory cap and previously pushed the
+    whole fused path onto the XLA fallback.
 
-
-def _perm_ops(pplan):
-    """Split a PermPlan's tiles into zero-byte shift ops and int8 residue.
-
-    A one-hot tile whose nonzeros form at most ``_RUNS_MAX`` contiguous
-    shifted runs (dst row = src row + delta over a dst range [lo, hi))
-    becomes one kind-2 op per run; anything denser stays a streamed int8
-    matmul tile. Under the chunk-aligned orderings the residue is empty
-    (the embedding inserts padding rows but never scrambles within runs).
-
-    Returns ``(shifts, mm)`` with shifts = [(dst_chunk, src_chunk, delta,
-    lo, hi)], mm = [(dst_chunk, src_chunk, flat_tile_idx)].
+    A (dst_chunk, src_chunk) pair whose entries form at most
+    ``_RUNS_MAX`` contiguous shifted runs becomes one kind-2 op per run;
+    denser pairs become one-hot int8 tiles (``res``) for the matmul
+    stream. Returns ``(shifts, mm, res)`` with shifts =
+    [(d, c, delta, lo, hi)], mm = [(d, c, idx into res)], res
+    (n_res, cs, cs) int8.
     """
-    tiles = np.asarray(pplan.tiles)  # (K, S, cs, cs) int8 one-hot
-    srcs = np.asarray(pplan.src)
-    K, S, cs = tiles.shape[0], tiles.shape[1], tiles.shape[2]
-    shifts, mm = [], []
-    for k in range(K):
-        for s in range(S):
-            sc = int(srcs[k, s])
-            if sc >= pplan.K_in:
-                continue
-            nz = np.argwhere(tiles[k, s])
-            if not len(nz):
-                continue  # padded slot
-            nz = nz[np.argsort(nz[:, 0])]
-            d, j = nz[:, 0], nz[:, 1]
-            newrun = np.ones(len(d), dtype=bool)
-            newrun[1:] = (d[1:] != d[:-1] + 1) | (j[1:] != j[:-1] + 1)
-            starts = np.nonzero(newrun)[0]
-            if len(starts) <= _RUNS_MAX:
-                lens = np.diff(np.append(starts, len(d)))
-                for a, ln in zip(starts, lens):
-                    shifts.append((k, sc, int((d[a] - j[a]) % cs),
-                                   int(d[a]), int(d[a] + ln)))
-            else:
-                mm.append((k, sc, k * S + s))
-    return shifts, mm
+    perm = np.asarray(perm, dtype=np.int64)
+    i = np.nonzero(perm >= 0)[0]
+    if not len(i):
+        return [], [], np.zeros((0, cs, cs), np.int8)
+    p = perm[i]
+    d = i // cs
+    li = i % cs
+    c = p // cs
+    ls = p % cs
+    newrun = np.ones(len(i), dtype=bool)
+    newrun[1:] = ((i[1:] != i[:-1] + 1) | (p[1:] != p[:-1] + 1)
+                  | (d[1:] != d[:-1]) | (c[1:] != c[:-1]))
+    starts = np.nonzero(newrun)[0]
+    lens = np.diff(np.append(starts, len(i)))
+    rd, rc = d[starts], c[starts]
+    rdelta = (li[starts] - ls[starts]) % cs
+    rlo = li[starts]
+    rhi = rlo + lens
+    keys = rd * np.int64(K_in + 1) + rc
+    order = np.argsort(keys, kind="stable")  # stable: dst order per pair
+    uk, counts = np.unique(keys[order], return_counts=True)
+    shifts, mm, res_pairs = [], [], []
+    pos = 0
+    for u, cnt in zip(uk, counts):
+        sel = order[pos:pos + cnt]
+        pos += cnt
+        dd, cc = int(u // (K_in + 1)), int(u % (K_in + 1))
+        if cnt <= _RUNS_MAX:
+            for r in sel:
+                shifts.append((dd, cc, int(rdelta[r]),
+                               int(rlo[r]), int(rhi[r])))
+        else:
+            mm.append((dd, cc, len(res_pairs)))
+            res_pairs.append((dd, cc))
+    res = np.zeros((len(res_pairs), cs, cs), np.int8)
+    if res_pairs:
+        tid = {pr: t for t, pr in enumerate(res_pairs)}
+        sel_el = np.fromiter(
+            (tid.get((int(a), int(b)), -1) for a, b in zip(d, c)),
+            dtype=np.int64, count=len(d),
+        )
+        m = sel_el >= 0
+        res[sel_el[m], li[m], ls[m]] = 1
+    return shifts, mm, res
 
 
 def _interleave(items: list, dst_of) -> list:
@@ -300,16 +313,16 @@ def _tri_ops(plan: TriPlan, fac0: int, dinv_base: int, off_base: int,
 
 
 def build_ldiv_ops(
-    pperm, lplan: TriPlan, uplan: TriPlan, qperm, *, KA: int
+    pvec, lplan: TriPlan, uplan: TriPlan, qvec, *, KA: int
 ) -> Optional[LdivOps]:
     """Emit the fused op stream: permP → (L levels) → (U levels) → permQ.
 
-    ``pperm``/``qperm`` are the block-one-hot :class:`~..ops.permute.PermPlan`
-    objects of the full ldiv; returns None when either uses the gather
-    fallback (no tiles to fuse).
+    ``pvec``/``qvec`` are the raw permutation VECTORS of the full ldiv
+    (``out[i] = v[vec[i]]``; -1 rows are zero): the perm phases are
+    decomposed directly from them (:func:`perm_spec`), so the fused path
+    never materializes one-hot tile grids and stays available at scales
+    where the block-one-hot PermPlan falls back to gather.
     """
-    if pperm.gather_idx is not None or qperm.gather_idx is not None:
-        return None
     if lplan.cs != uplan.cs:
         return None
     cs = lplan.cs
@@ -338,21 +351,22 @@ def build_ldiv_ops(
         done = sum(p * PAGE for _, p in seg_pages)
         seg_pages.append((kind, (len(src) - done) // PAGE))
 
-    def emit_perm(pplan, src_of, dst_of, comp):
+    def emit_perm(vec, K_src, src_of, dst_of, comp):
         """One permutation phase: a kind-2 shift segment (zero stream
         bytes; serial in-kernel, so no GROUP padding either) followed by
-        the int8 matmul residue for runs-dense tiles."""
-        shifts, mm = _perm_ops(pplan)
+        the int8 matmul residue for runs-dense pairs."""
+        shifts, mm, res = perm_spec(vec, cs, K_src)
         for (d, s, dl, l, h) in _interleave(shifts, lambda it: it[0]):
             emit(src_of(s), dst_of(d), 1, SRC_SHIFT, 0, dl, l, h)
         close_segment(2)
         for (d, s, t) in _interleave(mm, lambda it: it[0]):
             emit(src_of(s), dst_of(d), 1, comp, t)
         close_segment(0)
+        return res
 
     # phase 1: wrk = P(Rs ⊙ b) — scale happens in XLA before the kernel;
     # the factor-space panel is pre-zeroed, so every perm op accumulates
-    emit_perm(pperm, lambda s: s, lambda d: fac0 + d, SRC_PERMP)
+    res_p = emit_perm(pvec, KA, lambda s: s, lambda d: fac0 + d, SRC_PERMP)
     # phase 2/3: the triangular solves (reference src:330, :333)
     for plan, db, ob in ((lplan, SRC_LDINV, SRC_LOFF),
                          (uplan, SRC_UDINV, SRC_UOFF)):
@@ -361,7 +375,8 @@ def build_ldiv_ops(
             emit(*vals)
     close_segment(1)
     # phase 4: x[q] = wrk (reference src:337-339), into the output blocks
-    emit_perm(qperm, lambda s: fac0 + s, lambda d: out0 + d, SRC_PERMQ)
+    res_q = emit_perm(qvec, KB, lambda s: fac0 + s, lambda d: out0 + d,
+                      SRC_PERMQ)
 
     page_kind, page_off = [], []
     off = {0: 0, 1: 0, 2: 0}
@@ -383,6 +398,8 @@ def build_ldiv_ops(
         delta=np.asarray(dlt, dtype=np.int32),
         lo=np.asarray(lo, dtype=np.int32),
         hi=np.asarray(hi, dtype=np.int32),
+        res_p=res_p,
+        res_q=res_q,
     )
 
 
