@@ -204,3 +204,35 @@ def test_lu_tile_interpret_matches_nopivot(rng):
     want = np.asarray(_lu_nopivot(jnp.asarray(D)))
     got = np.asarray(lu_tile(jnp.asarray(D), interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_ldiv_gather_fallback_perm(rng):
+    """Vector-decomposed perms keep the fused path available when the
+    block-one-hot PermPlan itself falls back to gather (high fan-in —
+    the n ~ 1e5 regime where one-hot tile grids exceed the memory cap).
+    Forces the fallback via max_fanin and checks the interpret-mode fused
+    solve against scipy."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from tpu_sparse_lu.ops import permute as pm
+
+    A = poisson_2d(12, 10)
+    n = A.shape[0]
+    orig = pm.build_perm_plan
+
+    def tiny_fanin(perm, n_, cs, **kw):
+        kw["max_fanin"] = 1  # force the gather fallback for every plan
+        return orig(perm, n_, cs, **kw)
+
+    pm.build_perm_plan = tiny_fanin
+    try:
+        F = ParallelSparseLU(A, config=SolverConfig(
+            chunk_size=8, tri_mode="inv", dtype="float32"))
+    finally:
+        pm.build_perm_plan = orig
+    assert F._pperm.gather_idx is not None  # fallback actually engaged
+    b = jnp.asarray(rng.random((n, 4)), dtype=jnp.float32)
+    got = np.asarray(_fused_ldiv(F, b))
+    want = spla.spsolve(sp.csc_matrix(A), np.asarray(b))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
