@@ -60,8 +60,9 @@ class SolverConfig:
     # on ldiv for extra safety on non-diagonally-dominant matrices.
     ordering: str = "colamd"
     pivot_threshold: Optional[float] = None
-    # nd base-subdomain size (default cs//2): larger -> fewer, denser
-    # off-diagonal tiles (fewer solve ops) at the price of more fill
+    # nd base-subdomain size (default cs): larger -> fewer, denser
+    # off-diagonal tiles (fewer stream bytes — the fused solve's cost) at
+    # the price of more fill; see the measured sweep in docs/roadmap.md
     nd_cutoff: Optional[int] = None
     # device working-set ceiling (bytes) for enable_device_refactor's HBM
     # guard; None -> the 9 GB v5e-calibrated default in api.py
