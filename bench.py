@@ -533,7 +533,7 @@ def main():
         r = bench_config(4)
 
     print(json.dumps({
-        "metric": "poisson100_ldiv_throughput",
+        "metric": r.get("config", "poisson100_ldiv_throughput"),
         "value": r.get("nnz_per_s", 0.0),
         "unit": "nnz/s",
         "vs_baseline": r.get("vs_baseline", 0.0),

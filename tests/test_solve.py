@@ -277,3 +277,32 @@ def test_fp32_refine_accuracy_matrix(rng, family):
         r = np.linalg.norm(A @ X[:, j] - B[:, j]) / (
             An * np.linalg.norm(X[:, j]) + np.linalg.norm(B[:, j]))
         assert r < 5e-6, f"{family}: backward error {r}"
+
+
+def test_nd_cutoff_auto(rng):
+    """nd_cutoff="auto" sweeps subdomain sizes under the byte cost model
+    and still solves correctly; the chosen cutoff is one of the
+    candidates and never costs more (by the model) than the default."""
+    import scipy.sparse.linalg as spla
+
+    from tpu_sparse_lu import ParallelSparseLU, SolverConfig
+    from tpu_sparse_lu.models import poisson_2d
+
+    A = poisson_2d(24, 20)
+    cs = 16
+    F = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=cs, tri_mode="inv", dtype="float32",
+        ordering="nd", nd_cutoff="auto"))
+    assert F._nd_cutoff in (cs, 2 * cs, 4 * cs)
+    b = rng.random(A.shape[0])
+    x = np.asarray(F.ldiv(b, refine_steps=1))
+    xe = spla.spsolve(A.tocsc(), b)
+    np.testing.assert_allclose(x, xe, rtol=1e-4, atol=1e-5)
+    # model score of the pick <= score of the plain default
+    Fd = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=cs, tri_mode="inv", dtype="float32", ordering="nd"))
+    def score(FF):
+        lp, up = FF.plan.lplan, FF.plan.uplan
+        return (89 * (lp.K + up.K + lp.T + up.T + 2)
+                + 20 * (lp.num_levels + up.num_levels))
+    assert score(F) <= score(Fd)

@@ -110,12 +110,15 @@ class ParallelSparseLU:
         # nested-dissection embedding (config.ordering="nd"): factor an
         # extended matrix whose chunks align with the dissection stages
         self._ext = None
+        self._nd_cutoff = self.config.nd_cutoff
         A_factor = A
         if self.config.ordering == "nd":
             from .ordering import staged_extension
 
+            if self._nd_cutoff == "auto":
+                self._nd_cutoff = self._autotune_nd_cutoff(A, cs)
             A_ext, ext_src, ext_pos, data_src = staged_extension(
-                A, cs, cutoff=self.config.nd_cutoff
+                A, cs, cutoff=self._nd_cutoff
             )
             self._ext = {"src": ext_src, "pos": ext_pos, "data_src": data_src}
             A_factor = A_ext
@@ -132,6 +135,29 @@ class ParallelSparseLU:
         self._jit_cache = {}
         self._set_matrix_device(A)
         self._prepare_device()
+
+    def _autotune_nd_cutoff(self, A: sp.csc_matrix, cs: int) -> int:
+        """Pick the nd base-subdomain size by the fused solve's measured
+        byte cost model (docs/roadmap.md): the stream cost is essentially
+        f32 tile COUNT x 89 ns, so fewer/denser tiles beat less fill.
+        Tries {cs, 2cs, 4cs} (each costs one trial factorization — this
+        is the opt-in ``nd_cutoff="auto"``), scores
+        ``89*(diag + off-diagonal tiles) + 20*levels`` and keeps the min.
+        """
+        from .ordering import staged_extension
+        from .symbolic import plan_triangular
+
+        best, best_cost = cs, None
+        for cutoff in (cs, 2 * cs, 4 * cs):
+            A_ext, _, _, _ = staged_extension(A, cs, cutoff=cutoff)
+            f = self._factorize(A_ext)
+            lp = plan_triangular(f.L, cs, lower=True)
+            up = plan_triangular(f.U, cs, lower=False)
+            cost = (89 * (lp.K + up.K + lp.T + up.T + 2)
+                    + 20 * (lp.num_levels + up.num_levels))
+            if best_cost is None or cost < best_cost:
+                best, best_cost = cutoff, cost
+        return best
 
     def _factorize(self, A_factor: sp.csc_matrix) -> HostFactors:
         if self.config.ordering == "nd":
@@ -600,7 +626,7 @@ class ParallelSparseLU:
                 from .ordering import staged_extension
 
                 A_ext, ext_src, ext_pos, data_src = staged_extension(
-                    A, self.plan.cs, cutoff=self.config.nd_cutoff
+                    A, self.plan.cs, cutoff=self._nd_cutoff
                 )
                 self._ext = {"src": ext_src, "pos": ext_pos,
                              "data_src": data_src}

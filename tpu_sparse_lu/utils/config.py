@@ -62,8 +62,10 @@ class SolverConfig:
     pivot_threshold: Optional[float] = None
     # nd base-subdomain size (default cs): larger -> fewer, denser
     # off-diagonal tiles (fewer stream bytes — the fused solve's cost) at
-    # the price of more fill; see the measured sweep in docs/roadmap.md
-    nd_cutoff: Optional[int] = None
+    # the price of more fill; see the measured sweep in docs/roadmap.md.
+    # "auto" sweeps {cs, 2cs, 4cs} and keeps the byte-model minimum (one
+    # trial factorization per candidate)
+    nd_cutoff: object = None  # None | int | "auto"
     # device working-set ceiling (bytes) for enable_device_refactor's HBM
     # guard; None -> the 9 GB v5e-calibrated default in api.py
     refactor_store_budget: Optional[int] = None
@@ -81,6 +83,9 @@ class SolverConfig:
             raise ValueError(f"unknown use_pallas: {self.use_pallas!r}")
         if self.ordering not in ("colamd", "nd", "natural", "mmd"):
             raise ValueError(f"unknown ordering: {self.ordering!r}")
+        if not (self.nd_cutoff is None or self.nd_cutoff == "auto"
+                or isinstance(self.nd_cutoff, int)):
+            raise ValueError(f"unknown nd_cutoff: {self.nd_cutoff!r}")
 
 
 def default_chunk_size(n: int) -> int:
