@@ -153,3 +153,44 @@ def test_pipeline_sharded_output_single_rhs(rng):
     b = rng.random(200)
     x = np.asarray(solve(b))
     assert_isapprox(x[:200], spla.spsolve(A, b), rtol=TOL, atol=TOL)
+
+
+def test_sharded_apply_perm_boundary_exchange(rng):
+    """Direct check of the owner-computes sharded un-pivot when the
+    permutation CROSSES device boundaries (both directions) — the test
+    matrices' block-local pivots never exercise the fwd/bwd ppermute
+    branches."""
+    import jax.numpy as jnp
+
+    from tpu_sparse_lu.ops.permute import build_perm_plan
+    from tpu_sparse_lu.parallel.pipeline_solve import (
+        build_sharded_perm_plan,
+        sharded_apply_perm,
+    )
+
+    cs = 8
+    D = 4
+    Kl = 3                      # source chunks per device
+    K = D * Kl                  # 12 chunks, n = 96
+    n = K * cs
+    # rolled permutation: out[i] = v[(i + cs) % n] — every chunk draws
+    # from its successor, so device-boundary chunks cross FORWARD and the
+    # wraparound chunk crosses BACKWARD (last device reads block 0)
+    perm = (np.arange(n) + cs) % n
+    qperm = build_perm_plan(perm, n, cs)
+    spp = build_sharded_perm_plan(qperm, Kl, D)
+    if spp is None:
+        # wraparound spans D-1 boundaries -> correctly refused; drop it
+        perm = np.minimum(np.arange(n) + cs, n - 1)
+        perm[-cs:] = np.arange(n - cs, n)  # identity tail
+        qperm = build_perm_plan(perm, n, cs)
+        spp = build_sharded_perm_plan(qperm, Kl, D)
+    assert spp is not None
+    assert spp.use_dir[1] or spp.use_dir[2]  # crossings actually present
+    mesh = make_mesh(D)
+    v = rng.random((n, 3))
+    xw = jnp.asarray(v.reshape(K, cs, 3))
+    got = np.asarray(sharded_apply_perm(mesh, "chunks", qperm, spp, xw))
+    want = v[perm]
+    np.testing.assert_allclose(
+        got.reshape(-1, 3)[:n], want, rtol=1e-12, atol=1e-12)
