@@ -236,3 +236,38 @@ def test_fused_ldiv_gather_fallback_perm(rng):
     got = np.asarray(_fused_ldiv(F, b))
     want = spla.spsolve(sp.csc_matrix(A), np.asarray(b))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_ldiv_fuzz(rng):
+    """Property fuzz across sizes, chunk sizes, RHS widths and orderings
+    (reference-style randomized sweep, runtests.jl:31-34): the fused
+    interpret solve must match scipy on every instance — hardens the
+    vector perm decomposition (shift runs + residues) against ragged
+    tails, non-divisible n, and scrambled pivots."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from tpu_sparse_lu.models import random_sparse
+
+    cases = 0
+    for trial in range(12):
+        n = int(rng.integers(17, 90))
+        cs = int(rng.choice([4, 8, 16]))
+        R = int(rng.choice([1, 3, 8]))
+        A = random_sparse(rng, n, density=0.08) + sp.eye(n) * 3.0
+        A = sp.csc_matrix(A)
+        try:
+            F = ParallelSparseLU(A, config=SolverConfig(
+                chunk_size=cs, tri_mode="inv", dtype="float32"))
+        except RuntimeError:
+            continue  # singular draw
+        b = jnp.asarray(rng.random((n, R)), dtype=jnp.float32)
+        got = np.asarray(_fused_ldiv(F, b))
+        want = spla.spsolve(A, np.asarray(b))
+        if R == 1:
+            want = want.reshape(n, 1)
+        scale = max(np.abs(want).max(), 1.0)
+        np.testing.assert_allclose(got / scale, want / scale,
+                                   rtol=2e-4, atol=2e-4)
+        cases += 1
+    assert cases >= 8  # the sweep must mostly run, not skip
