@@ -1,5 +1,10 @@
 """Fused Pallas blocked-elimination kernel (device refactorization).
 
+TPU-native replacement for the numeric phase of the reference's
+``lu!(F, A)`` (UMFPACK numeric-only refactorization,
+/root/reference/src/SharedMemSparseLU.jl:245-279, :247): same-pattern
+values re-factored entirely on device under frozen pivots.
+
 The XLA level-scan elimination (refactor._blocked_elimination) runs each
 level as ~30 separate device ops (gather, Pallas LU, two triangular
 inverses via blocked recursion, panel dots, Schur update, scatters); on a

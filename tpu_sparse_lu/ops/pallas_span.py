@@ -1,5 +1,9 @@
 """Pallas span-gather: build the transposed tile store from CSC values.
 
+The device-side analogue of the reference's ``fill_chunks!`` scatter
+(/root/reference/src/SharedMemSparseLU.jl:180-243): CSC nonzeros placed
+into dense blocks, here for the refactorization's merged tile store.
+
 The windowed XLA assembly (assemble.py) moves values in W=16-wide rows
 because row gathers cost ~10-17 ns per ROW regardless of width — at
 W=16 that is 8x more rows than necessary, and the gather+scatter pair
