@@ -111,8 +111,13 @@ def test_op_stream_structure(rng):
     is_off = np.isin(ops.tile_base, (SRC_LOFF, SRC_UOFF))
     assert int(np.sum(is_diag)) == lplan.K + uplan.K
     assert int(np.sum(is_off)) == lplan.T + uplan.T
-    # diag solves are the ONLY set-ops, and solve in place (src == dst)
-    np.testing.assert_array_equal(ops.acc == 0, is_diag)
+    # set-ops: the diag solves (in place, src == dst) plus the un-pivot
+    # phase's first write per output block (the output space aliases the
+    # dead input space, so first writes must SET over stale values)
+    acc0 = np.asarray(ops.acc) == 0
+    assert np.all(acc0[is_diag])
+    out_sets = acc0 & ~is_diag
+    assert np.all(ops.dst[out_sets] <= ops.KA)   # only output blocks
     assert np.all(ops.src[is_diag] == ops.dst[is_diag])
     # padding (one run per page-aligned segment) points at the dummy
     # panel block with a zero tile
@@ -163,8 +168,15 @@ def test_op_stream_structure(rng):
                     if (d, s) == (k, sc):
                         got |= res[t]
                 np.testing.assert_array_equal(got, want)
-    assert np.all(ops.lo[shift_slot] < ops.hi[shift_slot])
-    assert np.all(ops.hi[shift_slot] <= ops.cs)
+    # real shift runs have non-empty lane ranges; block-zeroing ops
+    # (src = dummy, acc = 0 — the un-pivot SET of partially covered
+    # output blocks) legitimately carry lo == hi == 0
+    dummy_blk = ops.panel_blocks - 1
+    zero_op = shift_slot & (ops.src == dummy_blk) & (ops.acc == 0)
+    run_op = shift_slot & ~zero_op
+    assert np.all(ops.lo[run_op] < ops.hi[run_op])
+    assert np.all(ops.hi[run_op] <= ops.cs)
+    assert np.all(ops.hi[zero_op] == 0)
     # dependency order within L: a chunk's diag solve precedes every op
     # consuming it as source, and follows every op targeting it
     seen_solved = set()

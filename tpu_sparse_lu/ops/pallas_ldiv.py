@@ -143,8 +143,11 @@ class LdivOps:
     ``page_kind``/``page_off`` say, per page, which stream it reads (kind
     2 = none) and at which page offset within it.
 
-    Panel layout: blocks ``[0, KA]`` input space, ``[KA+1, KA+KB+1]``
-    factor space, ``[KA+KB+2, 2*KA+KB+2]`` output space, ``[P-1]`` dummy.
+    Panel layout: blocks ``[0, KA]`` input space — REUSED as the output
+    space (input blocks are dead once the perm-in phase ends, so the
+    un-pivot phase SETs its first write per block and accumulates after,
+    halving the panel and doubling the R/n VMEM ceiling) —
+    ``[KA+1, KA+KB+1]`` factor space, ``[P-1]`` dummy.
     """
 
     KA: int   # input-space chunks (KA+1 blocks incl. the padding dummy)
@@ -174,12 +177,12 @@ class LdivOps:
 
     @property
     def panel_blocks(self) -> int:
-        """P: unified panel block count (input + factor + output + dummy)."""
-        return 2 * (self.KA + 1) + (self.KB + 1) + 1
+        """P: unified panel block count (in/out shared + factor + dummy)."""
+        return (self.KA + 1) + (self.KB + 1) + 1
 
     @property
     def out_base(self) -> int:
-        return self.KA + self.KB + 2
+        return 0  # the output space aliases the (dead) input space
 
 
 def perm_spec(perm, cs: int, K_in: int):
@@ -328,8 +331,8 @@ def build_ldiv_ops(
     cs = lplan.cs
     KB = lplan.K
     fac0 = KA + 1          # factor-space block offset
-    out0 = KA + KB + 2     # output-space block offset
-    dummy = 2 * (KA + 1) + (KB + 1)  # last block
+    out0 = 0               # output space ALIASES the dead input space
+    dummy = (KA + 1) + (KB + 1)  # last block
     src, dst, acc, base, idx = [], [], [], [], []
     dlt, lo, hi = [], [], []
     seg_pages = []  # (kind, n_pages) per segment
@@ -351,16 +354,39 @@ def build_ldiv_ops(
         done = sum(p * PAGE for _, p in seg_pages)
         seg_pages.append((kind, (len(src) - done) // PAGE))
 
-    def emit_perm(vec, K_src, src_of, dst_of, comp):
+    def emit_perm(vec, K_src, src_of, dst_of, comp, set_first=False):
         """One permutation phase: a kind-2 shift segment (zero stream
         bytes; serial in-kernel, so no GROUP padding either) followed by
-        the int8 matmul residue for runs-dense pairs."""
+        the int8 matmul residue for runs-dense pairs.
+
+        ``set_first``: the first op touching each destination block is a
+        SET (acc=0) — the un-pivot phase writes over the input space's
+        stale values rather than a pre-zeroed region. Shift ops with
+        partial lane coverage cannot SET the untouched lanes, so the
+        first toucher of a partially-covered block is a full-lane zeroed
+        shift (lo=0, hi=cs with the mask folded in) — simpler: promote
+        such blocks by emitting an explicit zeroing op first."""
         shifts, mm, res = perm_spec(vec, cs, K_src)
+        seen = set()
+
+        def first(d):
+            if not set_first or d in seen:
+                return 1
+            seen.add(d)
+            return 0
+
         for (d, s, dl, l, h) in _interleave(shifts, lambda it: it[0]):
-            emit(src_of(s), dst_of(d), 1, SRC_SHIFT, 0, dl, l, h)
+            a = first(d)
+            if a == 0 and not (l == 0 and h == cs):
+                # partial-coverage SET: zero the block first (a shift op
+                # with an empty lane range and acc=0 writes exact zeros),
+                # then accumulate the run as usual
+                emit(dummy, dst_of(d), 0, SRC_SHIFT, 0, 0, 0, 0)
+                a = 1
+            emit(src_of(s), dst_of(d), a, SRC_SHIFT, 0, dl, l, h)
         close_segment(2)
         for (d, s, t) in _interleave(mm, lambda it: it[0]):
-            emit(src_of(s), dst_of(d), 1, comp, t)
+            emit(src_of(s), dst_of(d), first(d), comp, t)
         close_segment(0)
         return res
 
@@ -375,8 +401,9 @@ def build_ldiv_ops(
             emit(*vals)
     close_segment(1)
     # phase 4: x[q] = wrk (reference src:337-339), into the output blocks
+    # (aliasing the dead input blocks: first write per block SETs)
     res_q = emit_perm(qvec, KB, lambda s: fac0 + s, lambda d: out0 + d,
-                      SRC_PERMQ)
+                      SRC_PERMQ, set_first=True)
 
     page_kind, page_off = [], []
     off = {0: 0, 1: 0, 2: 0}
