@@ -340,6 +340,17 @@ def bench_config(cfg_id: int) -> dict:
                                  vs_baseline=_per(t1_base, t1r))
         log(f"config4 R=1: ours {t1r*1e3:.3f} ms, scipy "
             f"{t1_base*1e3:.3f} ms")
+        # wide panel (R=64) — fused since the in/out panel aliasing
+        # halved VMEM; the stream bytes amortize over 4x the RHS work
+        b64 = jnp.asarray(rng.random((A.shape[0], 64)), dtype=jnp.float32)
+        r64 = _check_residual(F, A, b64)
+        t64 = _chain_time(_ldiv_fn(F), b64)
+        t64_base = _scipy_panel_time(A, 64)
+        out["wide_rhs_64"] = dict(t_ours=t64, t_scipy=t64_base, resid=r64,
+                                  nnz_per_s=_per(nnz * 64, t64),
+                                  vs_baseline=_per(t64_base, t64))
+        log(f"config4 R=64: ours {t64*1e3:.3f} ms, scipy "
+            f"{t64_base*1e3:.3f} ms")
         # per-phase breakdown + MFU (VERDICT r1 #9)
         out["phases"] = _phase_breakdown(F, b, t)
         log(f"config4: ours {t*1e3:.3f} ms, scipy {t_base*1e3:.3f} ms, "
