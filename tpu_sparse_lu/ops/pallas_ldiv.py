@@ -107,10 +107,12 @@ PAGE = 32  # tiles per DMA page (PAGE * cs * cs * itemsize bytes per ring buffer
 # wave streams compared to the old G=8.
 GROUP_MM = 2
 # Shift ops move no bytes; their cost is per-op fixed latency, which
-# grouping amortizes (measured 83 ns serial, 29 ns at G=4, 20 ns at
-# G=8). They are never wave-padded (pages only), so a large group is
-# free.
-GROUP_SHIFT = 8
+# grouping amortizes (measured 83 ns serial, 29 ns at G=4, 20 at G=8,
+# 16 at G=16, 15.1 at G=32 = one group per page). They are never
+# wave-padded (pages only) and a shift segment never reads a block it
+# writes (perm phases read one panel space, write another), so the
+# maximal group is free.
+GROUP_SHIFT = 32
 assert PAGE % GROUP_MM == 0 and PAGE % GROUP_SHIFT == 0
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom out of ~16MB
