@@ -239,27 +239,43 @@ def bench_config(cfg_id: int) -> dict:
         # scipy baseline: full splu factorization (it has no numeric-only
         # path); sampled before AND after our timing, min kept, so
         # transient host load cannot inflate the ratio
-        def splu_time():
+        Acsc = A.tocsc()
+
+        def splu_time(M, **kw):
             ts_b = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                spla.splu(A.tocsc())
+                spla.splu(M, **kw)
                 ts_b.append(time.perf_counter() - t0)
             return float(np.min(ts_b))
 
-        t_base_pre = splu_time()
+        # tighter numeric-only bound (VERDICT r3 #6): factor the COLAMD-
+        # preordered matrix with permc_spec="NATURAL" — identical fill
+        # and flops, zero ordering cost; still pays SuperLU's structural
+        # symbolic phase (etree, supernode detection), so it remains an
+        # UPPER bound on a true numeric-only lu! (UMFPACK src:247).
+        # scikit-umfpack (a real lu!) is not installed in this image
+        # (import checked 2026-08-19), so this is the tightest measurable
+        # comparator available.
+        Aq = Acsc[:, spla.splu(Acsc).perm_c].tocsc()
+        t_base_pre = splu_time(Acsc)
+        t_pre_pre = splu_time(Aq, permc_spec="NATURAL")
         t = _slope_time(make_chain)
-        t_base = min(t_base_pre, splu_time())
+        t_base = min(t_base_pre, splu_time(Acsc))
+        t_preord = min(t_pre_pre, splu_time(Aq, permc_spec="NATURAL"))
         nnz = F.L.nnz + F.U.nnz
         return dict(config="refactor_same_pattern", n=A.shape[0], nnz_lu=nnz,
-                    t_ours=t, t_scipy=t_base, resid=float(r),
+                    t_ours=t, t_scipy=t_base,
+                    t_scipy_preordered=t_preord, resid=float(r),
                     baseline_note=(
-                        "scipy has no numeric-only refactorization, so the "
-                        "baseline is a FULL splu (symbolic + numeric); a "
-                        "UMFPACK lu! reusing symbolic analysis would be "
-                        "faster, inflating this ratio somewhat"
+                        "scipy has no numeric-only refactorization; "
+                        "vs_baseline compares a FULL splu, "
+                        "vs_preordered_splu a splu on the pre-ordered "
+                        "matrix (no ordering cost) — a measured upper "
+                        "bound on what UMFPACK lu! (src:247) could do"
                     ),
-                    nnz_per_s=_per(nnz, t), vs_baseline=_per(t_base, t))
+                    nnz_per_s=_per(nnz, t), vs_baseline=_per(t_base, t),
+                    vs_preordered_splu=_per(t_preord, t))
 
     if cfg_id == 3:
         # multi-RHS SpSM on a random sparse matrix. Served by the fused
@@ -351,6 +367,35 @@ def bench_config(cfg_id: int) -> dict:
                                   vs_baseline=_per(t64_base, t64))
         log(f"config4 R=64: ours {t64*1e3:.3f} ms, scipy "
             f"{t64_base*1e3:.3f} ms")
+        # bf16-stream A/B (VERDICT r3 #4): half-width L/U tile pages
+        # (the solve is byte-bound), with and without one IR sweep
+        from tpu_sparse_lu.ops.spmv import apply_spmv
+
+        F_bf = _make_F(A, 128, ordering="nd", nd_cutoff=512,
+                       stream_dtype="bfloat16")
+        r_bf = _check_residual(F_bf, A, b, tol=1e-1)
+        t_bf = _chain_time(_ldiv_fn(F_bf), b)
+        exe_bf, args_bf = F_bf._ldiv_callable()
+        F_bf.matvec(b)  # materialize the SpMV tiles
+
+        def refined(v, spmv, *a):
+            x = exe_bf(*a, v)
+            return x + exe_bf(*a, v - apply_spmv(spmv, x))
+
+        x_ir = np.asarray(refined(b, F_bf._spmv, *args_bf))
+        bn4 = np.asarray(b)
+        r_bf_ir = float(np.linalg.norm(A @ x_ir - bn4) / (
+            spla.norm(A) * np.linalg.norm(x_ir) + np.linalg.norm(bn4)))
+        t_bf_ir = _chain_time(
+            ((lambda v, spmv, *a: refined(v, spmv, *a)),
+             (F_bf._spmv,) + args_bf), b)
+        out["bf16_stream"] = dict(
+            t_ours=t_bf, resid=r_bf,
+            with_one_ir=dict(t_ours=t_bf_ir, resid=r_bf_ir),
+            note=("kind-1 (L/U tile) pages at 2 bytes/word; int8 perm "
+                  "and shift pages unchanged"))
+        log(f"config4 bf16: {t_bf*1e3:.3f} ms resid {r_bf:.1e}; "
+            f"+1 IR {t_bf_ir*1e3:.3f} ms resid {r_bf_ir:.1e}")
         # per-phase breakdown + MFU (VERDICT r1 #9)
         out["phases"] = _phase_breakdown(F, b, t)
         log(f"config4: ours {t*1e3:.3f} ms, scipy {t_base*1e3:.3f} ms, "
@@ -358,12 +403,15 @@ def bench_config(cfg_id: int) -> dict:
         return out
 
     if cfg_id == 5:
-        # block-banded matrix, row-partitioned across N>=2 devices
+        # block-banded matrix, row-partitioned across N>=2 devices.
+        # Sized like a real PDE step (VERDICT r3 #2c): n >= 1e5 rows,
+        # nnzLU ~ 20M — fill/drain no longer dominates the proxy by
+        # construction the way the old n=5120 toy did.
         from tpu_sparse_lu.parallel.mesh import make_mesh
         from tpu_sparse_lu.parallel.sharded_solve import make_sharded_ldiv
 
         ndev = len(jax.devices())
-        A = block_banded(rng, 160, 32)
+        A = block_banded(rng, 1600, 64)
         R = 16
         F = _make_F(A, 128)
         b = jnp.asarray(rng.random((A.shape[0], R)), dtype=jnp.float32)
@@ -397,27 +445,41 @@ def bench_config(cfg_id: int) -> dict:
     raise ValueError(cfg_id)
 
 
-def _pipeline_scaling_proxy(F, R, t1, micro_panels=4):
+def _pipeline_scaling_proxy(F, R, t1):
     """Static multi-chip cost model for the overlapped halo pipeline
     (parallel/pipeline_solve.py) at D = 2..8, from the REAL per-device
     schedules — the honest stand-in while only one physical chip exists.
+    Target: >= 70% scaling efficiency at N >= 2 (BASELINE.md; the
+    reference's latent MPI design, src:31).
 
     Checkable quantities (no timing involved): pipeline rounds
     ``M + 2D - 1`` vs the non-overlapped ``2(M + D - 1)``, ppermute count
     (2 per round: L forward + U backward), and halo bytes per round
-    ``(HL + HU) * cs * (R/M) * 4``. The efficiency projection divides
-    per-device compute (measured single-chip solve time scaled by the
-    device's share of chunks, Kl/K) across rounds and charges each round
-    one ICI hop (v5e ~1 us latency, ~45 GB/s effective per link
-    direction) — collectives ride neighbour ICI only, never DCN.
+    ``(HL + HU) * cs * (R/M) * 4``. ``M`` is the autotuned micro-panel
+    count (parallel/pipeline_solve.autotune_micro_panels, VERDICT r3
+    #2b). The efficiency projection divides per-device compute (measured
+    single-chip solve time scaled by the device's share of chunks,
+    Kl/K) across rounds and charges each round one ICI hop.
+
+    Also reports the level-striped psum engine's COMPACT per-level
+    collective bytes (sharded_solve.ShardedTriPlan, VERDICT r3 #2a) —
+    the engine single-RHS solves scale through.
     """
-    from tpu_sparse_lu.parallel.pipeline_solve import build_pipeline_plan
+    from tpu_sparse_lu.parallel.pipeline_solve import (
+        autotune_micro_panels,
+        build_pipeline_plan,
+    )
+    from tpu_sparse_lu.parallel.sharded_solve import build_sharded_tri_plan
 
     cs = F.plan.cs
     K = F.plan.lplan.K
-    M = micro_panels
+    # ICI constants: public "How to Scale Your Model" roofline numbers
+    # (jax-ml.github.io/scaling-book, TPU v5e): one-way ICI bandwidth
+    # 4.5e10 B/s per link, ~1 us per-hop latency rule of thumb. Not
+    # locally measurable — this host tunnels to a single chip, so no
+    # second ICI endpoint exists to microbenchmark against.
     ICI_LAT = 1e-6       # per-ppermute hop latency (s)
-    ICI_BW = 45e9        # per-link effective bandwidth (B/s)
+    ICI_BW = 45e9        # per-link one-way bandwidth (B/s)
     rows = []
     for D in range(2, 9):
         lp = build_pipeline_plan(F.plan.lplan, D)
@@ -425,6 +487,7 @@ def _pipeline_scaling_proxy(F, R, t1, micro_panels=4):
         if lp is None or up is None:
             rows.append(dict(D=D, note="pattern crosses >1 boundary"))
             continue
+        M = autotune_micro_panels(R, D)
         rounds = M + 2 * D - 1
         seq_rounds = 2 * (M + D - 1)
         halo_bytes = (lp.H + up.H) * cs * (R // M) * 4
@@ -434,29 +497,49 @@ def _pipeline_scaling_proxy(F, R, t1, micro_panels=4):
         t_round = (t1 * (lp.Kl / K)) / M if np.isfinite(t1) else None
         t_comm = ICI_LAT + halo_bytes / ICI_BW
         tD = rounds * (t_round + t_comm) if t_round else None
+        # psum engine: compact exchange payload per solve (all levels)
+        lsp = build_sharded_tri_plan(F.plan.lplan, D)
+        usp = build_sharded_tri_plan(F.plan.uplan, D)
+        psum_bytes = (lsp.psum_bytes_per_solve(cs, R)
+                      + usp.psum_bytes_per_solve(cs, R))
+        full_bytes = ((lsp.level_touched.shape[0]
+                       + usp.level_touched.shape[0])
+                      * (K + 1) * cs * R * 4)
         rows.append(dict(
             D=D, Kl=lp.Kl, halo_depth_L=lp.H, halo_depth_U=up.H,
+            micro_panels=M,
             rounds=rounds, seq_rounds_no_overlap=seq_rounds,
             ppermutes=2 * rounds, halo_bytes_per_round=halo_bytes,
             pipeline_eff=M / rounds,
             projected_t=tD,
             projected_efficiency=(t1 / (tD * D)) if tD else None,
+            psum_engine_collective_bytes_per_solve=psum_bytes,
+            psum_engine_fullcarrier_bytes_per_solve=full_bytes,
         ))
-    return dict(micro_panels=M, ici_latency_s=ICI_LAT, ici_bw_Bps=ICI_BW,
+    return dict(ici_latency_s=ICI_LAT, ici_bw_Bps=ICI_BW,
+                efficiency_target="BASELINE.md >=70% at N>=2",
                 per_D=rows)
 
 
 def _f64_probe() -> dict:
-    """fp64 accuracy/perf tier on the device (VERDICT r2 #7) against the
-    reference's full-f64 UMFPACK bar (runtests.jl:25-26 tolerances).
+    """f64 accuracy/perf tier on the device (VERDICT r2 #7, r3 #1)
+    against the reference's full-f64 UMFPACK bar (runtests.jl:25-26).
 
     Runs in THIS process, which must have been started with
     ``--f64-probe`` (x64 is process-global and cannot be toggled around
-    cached f32 executables) — see main(). tri_mode='inv' only: f64
-    ``lax.linalg.triangular_solve`` ('trsm') crashes this TPU runtime
-    (reproducible kernel fault through the axon tunnel, 2026-08-19), so
-    the supported f64 path is inverse-apply, whose matmuls XLA emulates
-    in software on the f64-less MXU.
+    cached f32 executables) — see main().
+
+    Two tiers measured:
+
+    * ``mixed`` (headline, VERDICT r3 #1): f32 fused Pallas solve +
+      float64 DIA-residual iterative refinement
+      (``ParallelSparseLU.make_f64_ldiv``) — every hot op stays on the
+      MXU; only the O(nd * n) residual runs under XLA's f64 emulation.
+    * ``native``: dtype='float64', tri_mode='inv' — every matmul f64-
+      emulated (the MXU has no f64). Meets the bar but loses to the CPU
+      baseline; kept for reference. tri_mode='trsm' in f64 crashes this
+      TPU runtime (XLA triangular_solve kernel fault, axon v5e,
+      2026-08-19), so 'inv'/'inv_refine' are the supported native tiers.
     """
     import jax
     import jax.numpy as jnp
@@ -468,26 +551,55 @@ def _f64_probe() -> dict:
     rng = np.random.default_rng(0)
     A = poisson_2d(100, 100)
     R = 16
+    bn = rng.random((A.shape[0], R))
+    xs = spla.spsolve(A.tocsc(), bn)
+    t_base = _scipy_panel_time(A, R)
+    nrmA = spla.norm(A)
+
+    def errs(x):
+        resid = float(np.linalg.norm(A @ x - bn) / (
+            nrmA * np.linalg.norm(x) + np.linalg.norm(bn)))
+        rel = float(np.linalg.norm(x - xs) / np.linalg.norm(xs))
+        return resid, rel
+
+    # --- mixed tier (headline) ---------------------------------------
+    F32 = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=128, tri_mode="inv", dtype="float32",
+        ordering="nd", nd_cutoff=512))
+    b64 = jnp.asarray(bn, jnp.float64)
+    mixed = {}
+    for steps in (1, 2):
+        solve = F32.make_f64_ldiv(refine_steps=steps)
+        resid, rel = errs(np.asarray(solve(b64)))
+        t = _chain_time(((lambda v: solve(v)), ()), b64)
+        mixed[f"ir{steps}"] = dict(
+            refine_steps=steps, t_ours=t, bwd_err=resid,
+            rel_err_vs_scipy_f64=rel, meets_1e12_bar=rel < 1e-12,
+            vs_baseline=_per(t_base, t))
+    # headline: fewest sweeps that meet the bar
+    head = next((m for m in mixed.values() if m["meets_1e12_bar"]),
+                mixed["ir2"])
+
+    # --- native f64 tier ----------------------------------------------
     F = ParallelSparseLU(A, config=SolverConfig(
         chunk_size=128, tri_mode="inv", dtype="float64", ordering="nd"))
-    b = jnp.asarray(rng.random((A.shape[0], R)), jnp.float64)
-    x = np.asarray(F.ldiv(b))
-    bn = np.asarray(b)
-    resid = float(np.linalg.norm(A @ x - bn) / (
-        spla.norm(A) * np.linalg.norm(x) + np.linalg.norm(bn)))
-    xs = spla.spsolve(A.tocsc(), bn)
-    rel = float(np.linalg.norm(x - xs) / np.linalg.norm(xs))
+    b = jnp.asarray(bn, jnp.float64)
+    resid, rel = errs(np.asarray(F.ldiv(b)))
     exe, fargs = F._ldiv_callable()
     t = _chain_time(((lambda v, *a: exe(*a, v)), fargs), b)
-    t_base = _scipy_panel_time(A, R)
-    return dict(tri_mode="inv", n=A.shape[0], R=R, t_ours=t,
-                t_scipy=t_base, bwd_err=resid, rel_err_vs_scipy_f64=rel,
-                meets_1e12_bar=rel < 1e-12 or resid < 1e-12,
-                vs_baseline=_per(t_base, t),
-                trsm_note=("tri_mode='trsm' in f64 crashes the TPU "
-                           "runtime (XLA triangular_solve kernel fault, "
-                           "axon v5e, 2026-08-19); 'inv'/'inv_refine' "
-                           "are the supported f64 tiers"))
+    native = dict(tri_mode="inv", t_ours=t, bwd_err=resid,
+                  rel_err_vs_scipy_f64=rel,
+                  meets_1e12_bar=rel < 1e-12 or resid < 1e-12,
+                  vs_baseline=_per(t_base, t))
+
+    return dict(n=A.shape[0], R=R, t_scipy=t_base,
+                tier="mixed (f32 fused solve + f64 DIA-residual IR)",
+                t_ours=head["t_ours"], bwd_err=head["bwd_err"],
+                rel_err_vs_scipy_f64=head["rel_err_vs_scipy_f64"],
+                refine_steps=head["refine_steps"],
+                meets_1e12_bar=head["meets_1e12_bar"],
+                vs_baseline=head["vs_baseline"],
+                mixed=mixed, native=native)
 
 
 def main():

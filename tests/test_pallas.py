@@ -52,7 +52,7 @@ def _build_ops(F):
         jnp.asarray(stream_gather_spec(ops, sizes, 1)),
         F.ldata.diag_inv, F.ldata.offdiag,
         F.udata.diag_inv, F.udata.offdiag,
-        dtype=F.dtype,
+        dtype=F._stream_dt,  # honours SolverConfig.stream_dtype
     )
     return ops, s_perm, s_lu
 
@@ -283,3 +283,74 @@ def test_fused_ldiv_fuzz(rng):
                                    rtol=2e-4, atol=2e-4)
         cases += 1
     assert cases >= 8  # the sweep must mostly run, not skip
+
+
+def test_fused_ldiv_strip_paging(rng, monkeypatch):
+    """R-strip panel paging (VERDICT r3 #3): when the full RHS panel
+    exceeds the VMEM budget, fused_ldiv_auto pages it through the kernel
+    in max_fused_rhs-wide strips and the concatenated result matches the
+    XLA engine. Forced here by shrinking the module's VMEM budget."""
+    from tpu_sparse_lu.ops import pallas_ldiv as pld
+
+    A = poisson_2d(10, 8)
+    n = A.shape[0]
+    F = ParallelSparseLU(
+        A, config=SolverConfig(chunk_size=8, tri_mode="inv", dtype="float32")
+    )
+    ops, s_perm, s_lu = _build_ops(F)
+    monkeypatch.setattr(pld, "_LANES", 8)  # test-size chunks
+    pages = 2 * pld.PAGE * 8 * 8 * 5
+    panel8 = ops.panel_blocks * 8 * 8 * 4  # Rp = 8 panel bytes
+    monkeypatch.setattr(pld, "_VMEM_BUDGET", pages + panel8 + panel8 // 2)
+    assert pld.supports_fused_ldiv(ops, 1)
+    assert not pld.supports_fused_ldiv(ops, 20)  # full panel over budget
+    assert pld.max_fused_rhs(ops) == 8
+    R = 20  # 3 strips: 8 + 8 + 4
+    b = jnp.asarray(rng.random((n, R)), dtype=jnp.float32)
+    xw = block_rhs(b, F.n, F._K_in, F.plan.cs) * F._rs_blk
+    out = pld.fused_ldiv_auto(ops, s_perm, s_lu, xw, interpret=True)
+    got = np.asarray(unblock_rhs(out, F.n))
+    ref = np.asarray(F.ldiv(b))  # XLA path (CPU backend -> not fused)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("R", [1, 4])
+def test_fused_ldiv_bf16_stream(rng, R):
+    """bf16 L/U stream (VERDICT r3 #4): the fused solve with half-width
+    tile pages must match the f32 XLA engine to bf16 tile precision, and
+    one f64-residual refinement sweep restores full accuracy."""
+    import scipy.sparse.linalg as spla
+
+    A = poisson_2d(10, 8)
+    n = A.shape[0]
+    F = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=8, tri_mode="inv", dtype="float32",
+        stream_dtype="bfloat16"))
+    b = jnp.asarray(rng.random((n, R)), dtype=jnp.float32)
+    ops, s_perm, s_lu = _build_ops(F)
+    assert s_lu.dtype == jnp.bfloat16  # the stream is actually half-width
+    xw = block_rhs(b, F.n, F._K_in, F.plan.cs) * F._rs_blk
+    got = np.asarray(unblock_rhs(
+        pallas_fused_ldiv(ops, s_perm, s_lu, xw, interpret=True), F.n))
+    want = spla.spsolve(A.tocsc(), np.asarray(b)).reshape(n, R)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 3e-2, f"bf16 direct solve rel err {rel}"  # ~8-bit tiles
+    assert rel > 1e-6  # sanity: the stream really was quantized
+
+    # f64-residual IR sweeps THROUGH the bf16 fused kernel recover well
+    # past f32 accuracy (the production pairing: stream_dtype="bfloat16"
+    # + make_f64_ldiv / refine_steps)
+    def bf16_solve(v64):
+        vw = block_rhs(jnp.asarray(v64, jnp.float32),
+                       F.n, F._K_in, F.plan.cs) * F._rs_blk
+        out = pallas_fused_ldiv(ops, s_perm, s_lu, vw, interpret=True)
+        return np.asarray(unblock_rhs(out, F.n), dtype=np.float64)
+
+    b64 = np.asarray(b, np.float64)
+    x = got.astype(np.float64)
+    for _ in range(4):
+        x = x + bf16_solve(b64 - A @ x)
+    rel2 = np.linalg.norm(x - want) / np.linalg.norm(want)
+    # contraction ~kappa*eps_bf16 per sweep (slower than the f32 tier's,
+    # which reaches 1e-13 in one sweep); 4 sweeps land far below f32
+    assert rel2 < 1e-11, f"bf16+IR rel err {rel2}"

@@ -242,11 +242,28 @@ def test_refactor_none_repacks(rng):
 def test_dense_n_sweep(rng, n):
     """Denser sweep toward the reference's 1:200 (runtests.jl:29): every
     n in 1..32 hits all chunk-boundary alignments at cs=8, plus spot
-    checks to n=200. Solve-only (the full lifecycle runs in test_dense)."""
+    checks to n=200. Runs the FULL lifecycle at every n, matching the
+    reference's per-n testset body (runtests.jl:108-146; VERDICT r3 #9):
+    solve → new RHS, same factorization → refactor with new values →
+    solve → new RHS again."""
     A = dense_random(rng, n)
     F = ParallelSparseLU(A, chunk_size=8)
     b = rng.random(n)
     assert_isapprox(np.asarray(F.ldiv(b)), spla.spsolve(A, b),
+                    rtol=DENSE_TOL, atol=DENSE_TOL)
+    # new RHS, same factorization (runtests.jl:123-126)
+    b2 = rng.random(n)
+    assert_isapprox(np.asarray(F.ldiv(b2)), spla.spsolve(A, b2),
+                    rtol=DENSE_TOL, atol=DENSE_TOL)
+    # new values, same pattern: refactor in place (runtests.jl:129-131)
+    A2 = A.copy()
+    A2.data = A2.data + 0.1 * rng.random(A2.nnz)
+    F.refactor(A2)
+    assert_isapprox(np.asarray(F.ldiv(b2)), spla.spsolve(A2, b2),
+                    rtol=DENSE_TOL, atol=DENSE_TOL)
+    # and a fresh RHS on the refactored system (runtests.jl:141-144)
+    b3 = rng.random(n)
+    assert_isapprox(np.asarray(F.ldiv(b3)), spla.spsolve(A2, b3),
                     rtol=DENSE_TOL, atol=DENSE_TOL)
 
 
@@ -306,3 +323,50 @@ def test_nd_cutoff_auto(rng):
         return (89 * (lp.K + up.K + lp.T + up.T + 2)
                 + 20 * (lp.num_levels + up.num_levels))
     assert score(F) <= score(Fd)
+
+
+@pytest.mark.parametrize("family", ["fe", "poisson", "banded", "spsm"])
+def test_f64_mixed_tier_meets_1e12_bar(rng, family):
+    """Mixed-precision f64 tier (VERDICT r3 #1): f32 direct solve +
+    float64-residual refinement must reach the reference's sparse
+    accuracy bar (1e-12 rel, runtests.jl:25) — the reference's numeric
+    regime is f64 end-to-end (UMFPACK, src:74)."""
+    from tpu_sparse_lu.models import block_banded, poisson_2d, random_sparse
+
+    A = {
+        "fe": lambda: fe_block_matrix(rng, 40, 5),
+        "poisson": lambda: poisson_2d(14, 14),
+        "banded": lambda: block_banded(rng, 16, 8),
+        "spsm": lambda: random_sparse(rng, 256, density=0.02),
+    }[family]()
+    n = A.shape[0]
+    F = ParallelSparseLU(
+        A, config=SolverConfig(chunk_size=16, tri_mode="inv",
+                               dtype="float32"),
+    )
+    solve = F.make_f64_ldiv(refine_steps=2)
+    B = rng.random((n, 3))
+    X = np.asarray(solve(B))
+    assert X.dtype == np.float64
+    Xe = spla.spsolve(A.tocsc(), B)
+    rel = np.linalg.norm(X - Xe) / np.linalg.norm(Xe)
+    assert rel < TOL, f"{family}: rel err {rel} misses the 1e-12 bar"
+    # single-vector call squeezes like ldiv
+    b = rng.random(n)
+    x = np.asarray(solve(b))
+    assert x.shape == (n,)
+    assert_isapprox(x, spla.spsolve(A.tocsc(), b), rtol=TOL, atol=TOL)
+
+
+def test_f64_mixed_tier_guards(rng):
+    """make_f64_ldiv refuses a non-f32 factorization and wrong-size b."""
+    A = fe_block_matrix(rng, 5, 5)
+    F64 = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=8, tri_mode="inv", dtype="float64"))
+    with pytest.raises(ValueError, match="f32 factorization"):
+        F64.make_f64_ldiv()
+    F = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=8, tri_mode="inv", dtype="float32"))
+    solve = F.make_f64_ldiv(refine_steps=1)
+    with pytest.raises(ValueError, match="same size"):
+        solve(np.ones(A.shape[0] + 1))

@@ -191,6 +191,7 @@ class ParallelSparseLU:
         direct solve."""
         from .ops.spmv import build_spmv_plan
 
+        self._A_host = A  # current csc matrix (make_f64_ldiv's f64 residual)
         self._a_data_dev = jnp.asarray(A.data, dtype=self.dtype)
         cs = min(getattr(self.plan, "cs", 128), 128)
         self._spmv, dest = build_spmv_plan(
@@ -384,7 +385,7 @@ class ParallelSparseLU:
         ``_ldiv_stream_lu`` (f32, refreshed by device refactorizations)."""
         self._ldiv_ops = None
         self._ldiv_stream_perm = jnp.zeros((0,), jnp.int8)  # dummy jit args
-        self._ldiv_stream_lu = jnp.zeros((0,), self.dtype)
+        self._ldiv_stream_lu = jnp.zeros((0,), self._stream_dt)
         if not self._pallas_eligible():
             return
         from .ops.pallas_ldiv import (
@@ -418,8 +419,13 @@ class ParallelSparseLU:
             self._ldiv_gather,
             self.ldata.diag_inv, self.ldata.offdiag,
             self.udata.diag_inv, self.udata.offdiag,
-            dtype=self.dtype,
+            dtype=self._stream_dt,
         )
+
+    @property
+    def _stream_dt(self):
+        """Fused-ldiv L/U stream dtype (SolverConfig.stream_dtype)."""
+        return jnp.dtype(self.config.stream_dtype)
 
     def _pallas_eligible(self) -> bool:
         """Whether the fused Pallas ldiv kernel (ops/pallas_ldiv.py) can
@@ -472,7 +478,7 @@ class ParallelSparseLU:
             return unblock_rhs(tri(plan.uplan, udata, xw), n)
 
         def ldiv(ldata, udata, pperm, qperm, rs_blk, s_perm, s_lu, b):
-            from .ops.pallas_ldiv import pallas_fused_ldiv, supports_fused_ldiv
+            from .ops.pallas_ldiv import fused_ldiv_auto
             from .ops.permute import apply_perm
 
             xw = block_rhs(b, n_in, K_in, cs)
@@ -481,11 +487,12 @@ class ParallelSparseLU:
             # when active)
             xw = xw * rs_blk
             # static (trace-time) dispatch: the fused Pallas program when
-            # the op stream exists and this RHS width fits VMEM
-            if ops is not None and supports_fused_ldiv(ops, xw.shape[-1]):
-                xw = pallas_fused_ldiv(ops, s_perm, s_lu, xw,
-                                       interpret=interpret)
-                return unblock_rhs(xw, n_in)
+            # the op stream exists — wide panels page through in R-strips
+            if ops is not None:
+                y = fused_ldiv_auto(ops, s_perm, s_lu, xw,
+                                    interpret=interpret)
+                if y is not None:
+                    return unblock_rhs(y, n_in)
             xw = apply_perm(pperm, xw)       # block-one-hot matmul perm
             xw = tri(plan.lplan, ldata, xw)  # forward subst. (src:330)
             xw = tri(plan.uplan, udata, xw)  # backward subst. (src:333)
@@ -602,6 +609,87 @@ class ParallelSparseLU:
 
     solve = ldiv
     __call__ = ldiv
+
+    def make_f64_ldiv(self, *, refine_steps: int = 2):
+        """f64-accuracy solve: f32 direct solve + f64-residual refinement.
+
+        The reference's numeric regime is float64 end-to-end — UMFPACK
+        factors in f64 (/root/reference/src/SharedMemSparseLU.jl:74) and
+        the test bar is 1e-12 (/root/reference/test/runtests.jl:25). The
+        TPU MXU has no f64: a native-f64 tier (dtype="float64",
+        tri_mode="inv") meets the bar but runs through XLA's software
+        f64 emulation, slower than the CPU baseline. This tier instead
+        runs classic mixed-precision iterative refinement:
+
+            x_0 = solve_f32(b);   x_{k+1} = x_k + solve_f32(b - A x_k)
+
+        with the residual ``b - A x`` computed in float64 (block-tile
+        SpMV, ops/spmv.py) and ``x`` accumulated in float64, while every
+        direct solve is the f32 fused Pallas path. Each sweep contracts
+        the error by ~kappa(A)*eps_f32, so 2-3 sweeps reach the 1e-12
+        bar for the reference's matrix families at a few times the f32
+        solve cost instead of the ~100x of emulated f64.
+
+        Requires ``jax_enable_x64`` (process-global) and an f32
+        factorization. Returns ``solve(b) -> x`` (float64 in/out,
+        ``(n,)`` or ``(n, R)``). Like the mesh engines, the returned
+        callable bakes the current numeric state: rebuild it after a
+        refactorization.
+        """
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "make_f64_ldiv needs jax_enable_x64 (set it at process "
+                "start); the f64 residual cannot be represented otherwise"
+            )
+        if jnp.dtype(self.dtype).itemsize != 4:
+            raise ValueError(
+                "make_f64_ldiv refines an f32 factorization; this solver "
+                f"was built with dtype={self.dtype}"
+            )
+        from .ops.spmv import (
+            apply_dia, apply_spmv, build_dia_plan, build_spmv_plan,
+        )
+        from .utils.x64 import x64_off
+
+        # DIA-format f64 residual when the pattern is banded/stencil-like
+        # (the library's target families): ~40x cheaper than the dense
+        # tile einsum under XLA's f64 emulation — see ops/spmv.py DiaPlan
+        spmv64 = build_dia_plan(self._A_host, dtype=np.float64)
+        matvec64 = apply_dia
+        if spmv64 is None:  # scattered pattern: dense-tile fallback
+            spmv64 = build_spmv_plan(
+                self._A_host, min(self.plan.cs, 128), dtype=np.float64
+            )
+            matvec64 = apply_spmv
+        exe, args = self._ldiv_callable()
+        steps = int(refine_steps)
+        n = self.n
+
+        @jax.jit
+        def run(spmv64, args, b64):
+            def solve32(v):
+                with x64_off():  # f32 sub-solve traced with 32-bit defaults
+                    return exe(*args, v.astype(jnp.float32))
+
+            x = solve32(b64).astype(jnp.float64)
+            for _ in range(steps):
+                r = b64 - matvec64(spmv64, x)
+                x = x + solve32(r).astype(jnp.float64)
+            return x
+
+        def solve(b):
+            b = jnp.asarray(b, jnp.float64)
+            if b.shape[0] != n:
+                raise ValueError(
+                    f"`b` does not have same size as F: {b.shape[0]} vs {n}"
+                )
+            squeeze = b.ndim == 1
+            if squeeze:
+                b = b[:, None]
+            x = run(spmv64, args, b)
+            return x[:, 0] if squeeze else x
+
+        return solve
 
     # -- refactorization ----------------------------------------------------
     def refactor(self, A: Optional[sp.spmatrix]) -> None:
@@ -857,8 +945,8 @@ class ParallelSparseLU:
             with jax.default_matmul_precision(prec):
                 from .ops.pallas_ldiv import (
                     build_lu_stream,
-                    pallas_fused_ldiv,
-                    supports_fused_ldiv,
+                    fused_ldiv_auto,
+                    max_fused_rhs,
                 )
 
                 # the nd embedding's value mapping is folded into the
@@ -877,17 +965,15 @@ class ParallelSparseLU:
                     :n_in].set(rs.astype(self.dtype))
                 rs_blk = rs_pad.reshape(K_in + 1, cs, 1)
                 b32 = b.astype(self.dtype)
-                fused = ops is not None and supports_fused_ldiv(
-                    ops, b32.shape[-1]
-                )
+                fused = ops is not None and max_fused_rhs(ops) > 0
                 if fused:
-                    # only the f32 L/U stream depends on values; the int8
+                    # only the L/U stream depends on values; the int8
                     # perm stream s_perm is a reusable constant
                     s_lu = build_lu_stream(
                         gather,
                         out["ldiag_inv"], out["loff"],
                         out["udiag_inv"], out["uoff"],
-                        dtype=self.dtype,
+                        dtype=self._stream_dt,
                     )
                 else:
                     ldata = mk(plan.lplan, out["ldiag"], out["loff"],
@@ -898,7 +984,7 @@ class ParallelSparseLU:
                 def solve(v):
                     xw = block_rhs(v, n_in, K_in, cs) * rs_blk
                     if fused:
-                        xw = pallas_fused_ldiv(
+                        xw = fused_ldiv_auto(
                             ops, s_perm, s_lu, xw, interpret=interpret
                         )
                         return unblock_rhs(xw, n_in)
@@ -944,10 +1030,160 @@ class ParallelSparseLU:
         return run
 
 
-    # -- misc ---------------------------------------------------------------
+    # -- persistence (SURVEY.md §5.4) ----------------------------------------
     def save_symbolic(self, path: str) -> None:
-        """Persist the symbolic schedule (SURVEY.md §5.4)."""
+        """Persist just the symbolic schedule (SURVEY.md §5.4); see
+        :meth:`save` for the full reusable factorization state."""
         self.plan.save(path)
+
+    def save(self, path: str) -> None:
+        """Persist everything host-computed — factors (patterns AND
+        values), permutations, scaling, the symbolic plan, the nd
+        embedding, the config — so :meth:`from_saved` can rebuild this
+        solver without re-running SuperLU or the planner.
+
+        The disk analogue of the reference keeping its UMFPACK object
+        alive across refactorizations (src:53-54, :247): at n=90k the
+        host construct (splu + normalization + planning) costs tens of
+        seconds per process; a reload costs deserialization + device
+        upload only.
+        """
+        import dataclasses as _dc
+        import json
+
+        flat = {
+            "version": np.int64(1),
+            "n_orig": np.int64(self._n_orig),
+            "config_json": np.frombuffer(
+                json.dumps(_dc.asdict(self.config)).encode(), dtype=np.uint8
+            ),
+            "nd_cutoff": np.int64(
+                -1 if not isinstance(self._nd_cutoff, int) else self._nd_cutoff
+            ),
+            # input pattern + a value fingerprint: from_saved verifies the
+            # pattern exactly and re-factorizes on device when only the
+            # VALUES moved (the saved factor values belong to the saved A)
+            "a_indptr": self._a_pattern[0],
+            "a_indices": self._a_pattern[1],
+            "a_data": np.asarray(self._A_host.data),
+        }
+        f = self._factors
+        flat.update(
+            f_n=np.int64(f.n), f_m=np.int64(f.m),
+            L_indptr=f.L.indptr, L_indices=f.L.indices, L_data=f.L.data,
+            U_indptr=f.U.indptr, U_indices=f.U.indices, U_data=f.U.data,
+            p=f.p, q=f.q, Rs=self.Rs,
+        )
+        if self._ext is not None:
+            flat.update(
+                ext_src=self._ext["src"], ext_pos=self._ext["pos"],
+                ext_data_src=self._ext["data_src"],
+                af_indptr=self._a_factor_pattern[0],
+                af_indices=self._a_factor_pattern[1],
+            )
+        from .symbolic import TriPlan as _TriPlan
+
+        plan = self.plan
+        flat.update(plan_n=np.int64(plan.n), plan_cs=np.int64(plan.cs),
+                    plan_p=plan.p, plan_q=plan.q, plan_Rs=plan.Rs,
+                    plan_qinv=plan.qinv)
+        for name, tp in (("l", plan.lplan), ("u", plan.uplan)):
+            for fld in _dc.fields(_TriPlan):
+                flat[f"{name}_{fld.name}"] = np.asarray(getattr(tp, fld.name))
+        np.savez_compressed(path, **flat)
+
+    @classmethod
+    def from_saved(cls, A: sp.spmatrix, path: str,
+                   *, on_value_change: str = "refactor"):
+        """Rebuild a solver from :meth:`save` output, skipping SuperLU and
+        all host planning (VERDICT r3 #5; reference analogue: live
+        ``lu_object`` reuse, src:53-54).
+
+        ``A`` must have exactly the sparsity pattern the state was saved
+        from (a clear error otherwise — the reference's reallocate path,
+        src:265-273, needs a full construct). If A's VALUES differ from
+        the saved ones, the saved factors are stale; ``on_value_change``
+        says what to do: ``"refactor"`` (default) runs the device
+        static-pivot numeric refactorization, ``"error"`` raises.
+        """
+        import dataclasses
+        import json
+
+        from .symbolic import SymbolicPlan as _SP
+        from .symbolic import TriPlan as _TriPlan
+
+        z = np.load(path)
+        if int(z["version"]) != 1:
+            raise ValueError(f"unknown save version {int(z['version'])}")
+        A = sp.csc_matrix(A)
+        A.sort_indices()
+        if (not np.array_equal(A.indptr, z["a_indptr"])
+                or not np.array_equal(A.indices, z["a_indices"])):
+            raise ValueError(
+                "matrix sparsity pattern differs from the saved state; "
+                "from_saved requires the exact saved pattern — construct "
+                "a new ParallelSparseLU for pattern changes"
+            )
+        cfg_json = json.loads(bytes(z["config_json"]).decode())
+        self = cls.__new__(cls)
+        self.config = SolverConfig(**cfg_json)
+        self._n_orig = int(z["n_orig"])
+        self.dtype = _resolve_dtype(self.config.dtype, A.dtype)
+        nd = int(z["nd_cutoff"])
+        self._nd_cutoff = self.config.nd_cutoff if nd < 0 else nd
+        self._ext = None
+        if "ext_src" in z.files:
+            self._ext = {"src": z["ext_src"], "pos": z["ext_pos"],
+                         "data_src": z["ext_data_src"]}
+        self._factors = HostFactors(
+            m=int(z["f_m"]), n=int(z["f_n"]),
+            L=sp.csc_matrix((z["L_data"], z["L_indices"], z["L_indptr"]),
+                            shape=(int(z["f_n"]), int(z["f_n"]))),
+            U=sp.csc_matrix((z["U_data"], z["U_indices"], z["U_indptr"]),
+                            shape=(int(z["f_n"]), int(z["f_n"]))),
+            p=z["p"], q=z["q"], Rs=z["Rs"],
+        )
+
+        def tri(prefix):
+            kw = {}
+            for fld in dataclasses.fields(_TriPlan):
+                v = z[f"{prefix}_{fld.name}"]
+                if fld.name in ("n", "cs", "K", "T"):
+                    v = int(v)
+                elif fld.name == "lower":
+                    v = bool(v)
+                kw[fld.name] = v
+            return _TriPlan(**kw)
+
+        self.plan = _SP(
+            n=int(z["plan_n"]), cs=int(z["plan_cs"]),
+            lplan=tri("l"), uplan=tri("u"),
+            p=z["plan_p"], q=z["plan_q"], Rs=z["plan_Rs"],
+            qinv=z["plan_qinv"],
+        )
+        self._a_pattern = (z["a_indptr"].copy(), z["a_indices"].copy())
+        self._a_pattern_sig = (
+            self._a_pattern[0].tobytes(), self._a_pattern[1].tobytes()
+        )
+        if self._ext is None:
+            self._a_factor_pattern = self._a_pattern
+        else:  # extended factor pattern saved alongside the embedding
+            self._a_factor_pattern = (z["af_indptr"].copy(),
+                                      z["af_indices"].copy())
+        self._refactor_plan = None
+        self._jit_cache = {}
+        self._set_matrix_device(A)
+        self._prepare_device()
+        if not np.array_equal(np.asarray(A.data, dtype=np.float64),
+                              np.asarray(z["a_data"], dtype=np.float64)):
+            if on_value_change == "error":
+                raise ValueError(
+                    "matrix values differ from the saved state (same "
+                    "pattern); pass on_value_change='refactor' to run the "
+                    "device numeric refactorization"
+                )
+            self.refactor_numeric(A)
+        return self
 
     def close(self) -> None:
         """Release device buffers (analogue of the reference's exported —

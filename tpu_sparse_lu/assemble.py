@@ -212,8 +212,10 @@ def plan_windowed_assembly(
     left_src = src[~covered].astype(np.int32)
     left_dst = destT[~covered]
     # win_dst indexes W-wide rows, so it stays int32 far beyond any store
-    # the HBM budget admits; assert rather than silently truncate
-    assert (TF2 + 1) * cs * cs // W < 2**31, "window store exceeds int32 rows"
+    # the HBM budget admits; a hard error (never stripped under -O, unlike
+    # assert) rather than a silent index truncation
+    if (TF2 + 1) * cs * cs // W >= 2**31:
+        raise ValueError("window store exceeds int32 rows")
 
     # --- span plan (Pallas span-gather fast path, ops/pallas_span.py) ------
     # the same winner-takes-the-row contest at width cs: each store row is

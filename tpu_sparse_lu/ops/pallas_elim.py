@@ -136,7 +136,9 @@ def _kernel(
     *,
     NL: int, BL: int, MR: int, MU: int, MS: int,
 ):
-    lvl = pl.program_id(0)
+    # int32 explicitly: program_id is int64 under jax_enable_x64 and
+    # Mosaic cannot lower the resulting i64 index arithmetic
+    lvl = pl.program_id(0).astype(jnp.int32)
     cs = store.shape[-1]
     ridx = lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
     cidx = lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
@@ -232,25 +234,28 @@ def fused_elimination(tiles, diag_ids, diag_cnt, row_ids, row_owner,
         ],
     )
     kernel = functools.partial(_kernel, NL=NL, BL=BL, MR=MR, MU=MU, MS=MS)
-    tiles_out, linv, uinv, minpiv = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((TF2, cs, cs), dt),
-            jax.ShapeDtypeStruct((NL * BL, cs, cs), dt),
-            jax.ShapeDtypeStruct((NL * BL, cs, cs), dt),
-            jax.ShapeDtypeStruct((1, cs), dt),
-        ),
-        input_output_aliases={7: 0},  # tile store updated in place
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(
-        jnp.asarray(diag_ids), jnp.asarray(diag_cnt),
-        jnp.asarray(row_ids), jnp.asarray(row_owner),
-        jnp.asarray(col_ids), jnp.asarray(col_owner),
-        jnp.asarray(schur),
-        tiles,
-    )
+    from ..utils.x64 import x64_off_for
+
+    with x64_off_for(dt):  # 32-bit trace for 4-byte kernels only
+        tiles_out, linv, uinv, minpiv = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((TF2, cs, cs), dt),
+                jax.ShapeDtypeStruct((NL * BL, cs, cs), dt),
+                jax.ShapeDtypeStruct((NL * BL, cs, cs), dt),
+                jax.ShapeDtypeStruct((1, cs), dt),
+            ),
+            input_output_aliases={7: 0},  # tile store updated in place
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(
+            jnp.asarray(diag_ids), jnp.asarray(diag_cnt),
+            jnp.asarray(row_ids), jnp.asarray(row_owner),
+            jnp.asarray(col_ids), jnp.asarray(col_owner),
+            jnp.asarray(schur),
+            tiles,
+        )
     return (
         tiles_out,
         jnp.min(minpiv),

@@ -63,10 +63,13 @@ def _kernel(d_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lu_tile(D: jax.Array, *, interpret: bool = False) -> jax.Array:
     """Factor ``(..., cs, cs)`` tiles into merged L\\U in VMEM."""
-    return pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct(D.shape, D.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(D)
+    from ..utils.x64 import x64_off_for
+
+    with x64_off_for(D.dtype):  # 32-bit trace for 4-byte kernels only
+        return pl.pallas_call(
+            _kernel,
+            out_shape=jax.ShapeDtypeStruct(D.shape, D.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(D)

@@ -92,7 +92,9 @@ __all__ = [
     "build_lu_stream",
     "build_perm_stream",
     "supports_fused_ldiv",
+    "max_fused_rhs",
     "pallas_fused_ldiv",
+    "fused_ldiv_auto",
 ]
 
 PAGE = 32  # tiles per DMA page (PAGE * cs * cs * itemsize bytes per ring buffer; 16/32/64 measured within noise on v5e round-3 slope timing — the stream is HBM-byte-bound)
@@ -117,6 +119,7 @@ assert PAGE % GROUP_MM == 0 and PAGE % GROUP_SHIFT == 0
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom out of ~16MB
 _SMEM_BUDGET = 256 * 1024
+_LANES = 128  # panel lane width the kernel requires of cs
 
 # tile-source component ids for the stream gathers; SRC_SHIFT marks
 # tile-less lane-shift ops (op kind 2 — no stream slot, scalars only)
@@ -492,7 +495,7 @@ def supports_fused_ldiv(ops: Optional[LdivOps], R: int,
     if ops is None:
         return False
     cs = ops.cs
-    if cs % 128 != 0:
+    if cs % _LANES != 0:
         return False
     if itemsize != 4:
         return False
@@ -506,6 +509,53 @@ def supports_fused_ldiv(ops: Optional[LdivOps], R: int,
     if (ops.src.shape[0] * 3 + ops.page_kind.shape[0] * 2) * 4 >= _SMEM_BUDGET:
         return False
     return True
+
+
+def max_fused_rhs(ops: Optional[LdivOps], itemsize: int = 4) -> int:
+    """Widest RHS panel (multiple of 8, the sublane pack unit) a single
+    fused-kernel invocation can hold in VMEM; 0 when even R=1 doesn't fit
+    (the XLA engine serves then). The R-strip router (fused_ldiv_auto)
+    pages wider panels through the kernel in strips of this width."""
+    if not supports_fused_ldiv(ops, 1, itemsize):
+        return 0
+    cs = ops.cs
+    pages = 2 * PAGE * cs * cs * (itemsize + 1)
+    rp = (_VMEM_BUDGET - pages - 1) // (ops.panel_blocks * cs * itemsize)
+    return max(8, (rp // 8) * 8)
+
+
+def fused_ldiv_auto(
+    ops: Optional[LdivOps],
+    stream_perm, stream_lu, xw,
+    *,
+    interpret: bool = False,
+):
+    """Route through the fused kernel, paging the solution panel in
+    R-strips when the full ``(P, Rp, cs)`` panel exceeds VMEM
+    (VERDICT r3 #3: n=90k-wide factor spaces fit only R ≤ 8 per
+    invocation — strip paging keeps R=16-64 on the fused path instead of
+    the ~10x-slower XLA level scan).
+
+    The solve is independent per RHS column, so strips are exact; the
+    cost is re-streaming the tile pages once per strip — the stream is
+    the dominant HBM traffic, so S strips cost ~S x one solve, still far
+    under the XLA engine. Returns the solved carrier or None when the
+    fused kernel cannot serve even an 8-wide strip (caller falls back)."""
+    if ops is None:
+        return None
+    R = xw.shape[-1]
+    if supports_fused_ldiv(ops, R):
+        return pallas_fused_ldiv(ops, stream_perm, stream_lu, xw,
+                                 interpret=interpret)
+    Rs = max_fused_rhs(ops)
+    if Rs == 0:
+        return None
+    outs = [
+        pallas_fused_ldiv(ops, stream_perm, stream_lu,
+                          xw[..., i:min(i + Rs, R)], interpret=interpret)
+        for i in range(0, R, Rs)
+    ]
+    return jnp.concatenate(outs, axis=-1)
 
 
 def _pack_meta(ops: LdivOps) -> np.ndarray:
@@ -534,7 +584,10 @@ def _kernel(
     KA: int,
     OUT0: int,
 ):
-    pg = pl.program_id(0)
+    # int32 explicitly: under jax_enable_x64 program_id is int64, which
+    # poisons every downstream index with i64 converts Mosaic can't lower
+    # (the mixed-precision f64 tier runs this f32 kernel in an x64 process)
+    pg = pl.program_id(0).astype(jnp.int32)
 
     def perm_dma(q):
         off = off_ref[q]
@@ -607,7 +660,11 @@ def _kernel(
     @pl.when(kind_ref[pg] == 1)
     def _():
         lu_dma(pg).wait()
-        op_loop(lambda g: pages32[slot, g:g + GROUP_MM])
+        # bf16 streams widen on the VPU after the DMA lands, exactly like
+        # the int8 perm pages (astype is a no-op for f32 streams)
+        op_loop(
+            lambda g: pages32[slot, g:g + GROUP_MM].astype(jnp.float32)
+        )
 
     @pl.when(kind_ref[pg] == 2)
     def _():
@@ -654,7 +711,15 @@ def pallas_fused_ldiv(
     *,
     interpret: bool = False,
 ) -> jax.Array:
-    """Run the fused solve; returns the solved ``(KA+1, cs, R)`` carrier."""
+    """Run the fused solve; returns the solved ``(KA+1, cs, R)`` carrier.
+
+    Contract: only rows ``< n`` of the flattened carrier are defined.
+    Because the output space aliases the dead input space (first-write
+    SETs), carrier rows never touched by the un-pivot — rows past ``n``
+    in the last real block and the whole dummy block — retain stale
+    scaled-RHS values rather than zeros. Slice with ``unblock_rhs(xw, n)``
+    (as every in-tree caller does) before consuming; never psum or
+    residual the padded blocked form directly."""
     KA, cs = ops.KA, ops.cs
     R = xw.shape[-1]
     Rp = _rp(R)
@@ -681,7 +746,8 @@ def pallas_fused_ldiv(
         scratch_shapes=[
             pltpu.VMEM((ops.panel_blocks, Rp, cs), dtype),
             pltpu.VMEM((2, PAGE, cs, cs), jnp.int8),
-            pltpu.VMEM((2, PAGE, cs, cs), dtype),
+            # L/U ring buffer in the STREAM dtype (bf16 halves its pages)
+            pltpu.VMEM((2, PAGE, cs, cs), stream_lu.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -690,21 +756,24 @@ def pallas_fused_ldiv(
     kernel = functools.partial(
         _kernel, NPAGES=NPAGES, KA=KA, OUT0=ops.out_base
     )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((KA + 1, Rp, cs), dtype),
-        input_output_aliases={5: 0},  # xt buffer reused as output
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(
-        jnp.asarray(ops.src),
-        jnp.asarray(ops.dst),
-        jnp.asarray(_pack_meta(ops)),
-        jnp.asarray(ops.page_kind),
-        jnp.asarray(ops.page_off),
-        xt,
-        stream_perm,
-        stream_lu,
-    )
+    from ..utils.x64 import x64_off
+
+    with x64_off():  # 32-bit kernel trace inside x64 processes
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((KA + 1, Rp, cs), dtype),
+            input_output_aliases={5: 0},  # xt buffer reused as output
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(
+            jnp.asarray(ops.src),
+            jnp.asarray(ops.dst),
+            jnp.asarray(_pack_meta(ops)),
+            jnp.asarray(ops.page_kind),
+            jnp.asarray(ops.page_off),
+            xt,
+            stream_perm,
+            stream_lu,
+        )
     return out[:, :R, :].transpose(0, 2, 1)

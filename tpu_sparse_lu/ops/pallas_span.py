@@ -59,7 +59,9 @@ def supports_span_gather(n_rows: int, np2: int, cs: int,
 
 
 def _kernel(g_ref, lo_ref, hi_ref, a2_ref, out_ref):
-    pg = pl.program_id(0)
+    # int32 explicitly: program_id is int64 under jax_enable_x64 and
+    # Mosaic cannot lower the resulting i64 index arithmetic
+    pg = pl.program_id(0).astype(jnp.int32)
     cs = out_ref.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
     for g0 in range(0, PR, GROUP):
@@ -101,10 +103,13 @@ def span_gather(a2, g, lo, hi, *, n_rows: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((PR, cs), lambda i, *_: (i, 0)),
     )
-    out = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((npad, cs), a2.dtype),
-        interpret=interpret,
-    )(g, lo, hi, a2)
+    from ..utils.x64 import x64_off_for
+
+    with x64_off_for(a2.dtype):  # 32-bit trace for 4-byte kernels only
+        out = pl.pallas_call(
+            _kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((npad, cs), a2.dtype),
+            interpret=interpret,
+        )(g, lo, hi, a2)
     return out[:n_rows]

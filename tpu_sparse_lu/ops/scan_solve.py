@@ -192,10 +192,13 @@ def pallas_bidiag_ldiv(aL, sL, aU, sU, b2d, *, n: int,
     ``aL = -lo/ld`` (index 0 zeroed by construction), ``sL = rs/ld``,
     ``aU = -uo/ud`` (index n-1 zero), ``sU = 1/ud``, ``b2d`` the packed
     RHS."""
-    return pl.pallas_call(
-        functools.partial(_ldiv_kernel, n=n),
-        out_shape=jax.ShapeDtypeStruct(b2d.shape, b2d.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(aL, sL, aU, sU, b2d)
+    from ..utils.x64 import x64_off_for
+
+    with x64_off_for(b2d.dtype):  # 32-bit trace for 4-byte kernels only
+        return pl.pallas_call(
+            functools.partial(_ldiv_kernel, n=n),
+            out_shape=jax.ShapeDtypeStruct(b2d.shape, b2d.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(aL, sL, aU, sU, b2d)

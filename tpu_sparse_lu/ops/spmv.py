@@ -99,6 +99,66 @@ def refresh_spmv_values(plan: SpMVPlan, dest: jax.Array, a_data: jax.Array) -> S
     )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DiaPlan:
+    """A in DIA (diagonal) format for cheap high-precision residuals.
+
+    ``y[i] = sum_d data[d, i] * x[i + offsets[d]]`` (out-of-range reads
+    are zero). For the banded/stencil matrices this library targets, a
+    5-point Poisson has 5 diagonals and a block-banded PDE operator a few
+    dozen — so an f64 SpMV does O(nd * n) emulated-f64 flops instead of
+    the dense-tile plan's O(K * S * cs^2): the 128x128 tiles of a 5-point
+    stencil are ~2% nonzero, and XLA's f64 emulation pays for every zero
+    (measured v5e, n=10k R=16: tile einsum 1.23 ms vs 32 us for f32 —
+    the DIA form recovers the sparsity the tiles gave up).
+    """
+
+    n: int
+    offsets: tuple  # static python ints, length nd
+    data: jax.Array  # (nd, n)
+
+    def tree_flatten(self):
+        return (self.data,), (self.n, self.offsets)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], *children)
+
+
+def build_dia_plan(A: sp.spmatrix, dtype=np.float64,
+                   max_cost: float = 8.0):
+    """DIA plan, or None when the diagonal form is denser than
+    ``max_cost`` x nnz (scattered patterns: fall back to the tile plan)."""
+    A = sp.coo_matrix(A)
+    n = A.shape[0]
+    offs = np.unique(A.col.astype(np.int64) - A.row.astype(np.int64))
+    if offs.shape[0] * n > max_cost * max(A.nnz, 1) + 8 * n:
+        return None
+    data = np.zeros((offs.shape[0], n), dtype=dtype)
+    d_of = np.searchsorted(offs, A.col.astype(np.int64) - A.row)
+    np.add.at(data, (d_of, A.row), A.data.astype(dtype))
+    return DiaPlan(n=n, offsets=tuple(int(o) for o in offs),
+                   data=jnp.asarray(data))
+
+
+def apply_dia(plan: DiaPlan, x: jax.Array) -> jax.Array:
+    """``y = A @ x`` for ``x (n, R)`` → ``(n, R)`` (unrolled over the
+    static diagonal offsets; XLA fuses the shifts+multiply-adds)."""
+    n = plan.n
+    lo = -min(0, min(plan.offsets))
+    hi = max(0, max(plan.offsets))
+    xp = jnp.pad(x, ((lo, hi), (0, 0)))
+    y = jnp.zeros_like(x)
+    for d, off in enumerate(plan.offsets):
+        y = y + plan.data[d][:, None] * lax_slice_rows(xp, lo + off, n)
+    return y
+
+
+def lax_slice_rows(xp: jax.Array, start: int, n: int) -> jax.Array:
+    return xp[start:start + n]
+
+
 def apply_spmv(plan: SpMVPlan, x: jax.Array) -> jax.Array:
     """``y = A @ x`` for ``x (n, R)`` → ``(n, R)``."""
     n, cs, K = plan.n, plan.cs, plan.K

@@ -163,6 +163,32 @@ def _bmm(a, b):
     )
 
 
+def autotune_micro_panels(R: int, D: int, *, cap: int = 16) -> int:
+    """Pick the micro-panel count M for the overlapped pipeline
+    (VERDICT r3 #2b).
+
+    Pipeline efficiency is ``M / (M + 2D - 1)`` — the fill/drain bubble is
+    ``2D - 1`` rounds regardless of M, so more (thinner) panels amortize
+    it better; the cost of thin panels (cs × R/M tile matmuls) is small
+    because each round is latency-bound, not MXU-bound. M must divide R
+    (equal static panel widths), so take the largest divisor of R that is
+    ≤ ``cap`` (cap=16: at M=16 efficiency is already 16/19 = 0.84 at D=2
+    and 16/23 = 0.70 at D=4; beyond that the per-round ICI latency charge
+    grows linearly for single-digit-percent efficiency).
+
+    ``R = 1`` (the reference's primary calling pattern, src:286) returns
+    M=1: a banded chain is inherently serial across a contiguous row
+    partition — device d+1's first chunk depends on device d's last
+    chunks — so there is no intra-RHS axis to pipeline; single-RHS
+    multi-chip solves should ride the level-striped psum engine over an
+    nd ordering instead (level width is the parallelism there).
+    """
+    m = max(1, min(cap, R))
+    while R % m:
+        m -= 1
+    return m
+
+
 def pipeline_tri_solve(
     mesh: Mesh,
     axis: str,
@@ -418,11 +444,15 @@ def sharded_apply_perm(mesh: Mesh, axis: str, qperm, spp: ShardedPermPlan,
 
 
 def make_pipeline_ldiv(F, mesh: Mesh, axis: str = "chunks",
-                       micro_panels: int = 4, *, replicate: bool = True):
+                       micro_panels: Optional[int] = None, *,
+                       replicate: bool = True):
     """Pipelined distributed ``ldiv`` for banded-enough factors.
 
     Returns ``solve(b)`` or None when either factor's pattern crosses more
     than one device boundary (use :func:`make_sharded_ldiv` instead).
+
+    ``micro_panels=None`` (default) autotunes the panel count per RHS
+    width via :func:`autotune_micro_panels` at trace time.
 
     ``replicate=False`` keeps the solution DISTRIBUTED end to end
     (VERDICT r2 #5): no final psum — the un-pivot runs owner-computes on
@@ -455,13 +485,15 @@ def make_pipeline_ldiv(F, mesh: Mesh, axis: str = "chunks",
     @jax.jit
     def run(ldata, udata, pperm, qperm, rs_blk, b):
         with jax.default_matmul_precision(prec):
+            M = (autotune_micro_panels(b.shape[-1], D)
+                 if micro_panels is None else micro_panels)
             xw = block_rhs(b, n_in, K_in, cs)
             xw = apply_perm(pperm, xw * rs_blk)
             # overlapped L/U pipeline: panel m runs rsolve while panel
             # m+1 is still in lsolve — one fill/drain bubble, not two
             xw = pipeline_ldiv_pair(
                 mesh, axis, plan.lplan, lp, ldata, plan.uplan, up, udata,
-                xw, micro_panels=micro_panels, tri_mode=tri_mode,
+                xw, micro_panels=M, tri_mode=tri_mode,
                 shard_output=not replicate,
             )
             if replicate:

@@ -234,7 +234,10 @@ def _level_schedule(ub: np.ndarray, uc: np.ndarray, K: int, lower: bool) -> np.n
             K,
             bool(lower),
         )
-    except ImportError:
+    except (ImportError, AttributeError):
+        # AttributeError: a stale _symcore binary predating this entry
+        # point (scrambled mtimes can defeat the rebuild-on-mtime check)
+        # degrades to the NumPy fallback instead of crashing
         pass
     starts = np.searchsorted(ub, np.arange(K + 1))
     order = range(K) if lower else range(K - 1, -1, -1)
@@ -287,7 +290,8 @@ def plan_triangular(
         native = _symcore.plan_maps(
             indptr, rows, cs, K, bool(lower), extra_keys,
         )
-    except ImportError:
+    except (ImportError, AttributeError):
+        # stale _symcore binaries without plan_maps fall back to NumPy
         pass
     if native is not None:
         uniq_keys, diag_dest, offdiag_dest = native

@@ -69,6 +69,13 @@ class SolverConfig:
     # device working-set ceiling (bytes) for enable_device_refactor's HBM
     # guard; None -> the 9 GB v5e-calibrated default in api.py
     refactor_store_budget: Optional[int] = None
+    # dtype of the fused-ldiv L/U tile STREAM (the dominant HBM traffic of
+    # a solve — the kernel is byte-bound, see docs/roadmap.md cost model).
+    # "bfloat16" halves the f32 pages (diag inverses included) at ~3
+    # decimal digits of tile precision; pair with ldiv(refine_steps=1) or
+    # make_f64_ldiv to restore accuracy. Panel and XLA-engine tiles stay
+    # at `dtype`.
+    stream_dtype: str = "float32"
 
     def __post_init__(self):
         if self.tri_mode not in ("trsm", "inv", "inv_refine"):
@@ -86,6 +93,8 @@ class SolverConfig:
         if not (self.nd_cutoff is None or self.nd_cutoff == "auto"
                 or isinstance(self.nd_cutoff, int)):
             raise ValueError(f"unknown nd_cutoff: {self.nd_cutoff!r}")
+        if self.stream_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown stream_dtype: {self.stream_dtype!r}")
 
 
 def default_chunk_size(n: int) -> int:
