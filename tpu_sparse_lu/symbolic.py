@@ -341,6 +341,15 @@ def plan_triangular(
             )
             offdiag_dest[osel] = (t_of_nz * cs + lr[osel]) * cs + lc[osel]
 
+    # pack maps are per-NONZERO: at n ~ 1e5 they are the plan's dominant
+    # memory (and the dominant bytes of ParallelSparseLU.save). int32
+    # whenever the one-past-the-end sentinel fits — the gather/scatter
+    # consumers are indifferent, and it halves plan RAM/disk/load time.
+    if (K + 1) * cs * cs + 1 < 2**31:
+        diag_dest = diag_dest.astype(np.int32)
+    if (T + 1) * cs * cs + 1 < 2**31:
+        offdiag_dest = offdiag_dest.astype(np.int32)
+
     tile_brow = np.concatenate([ub, [K]]).astype(np.int32)
     tile_bcol = np.concatenate([uc, [K]]).astype(np.int32)
 
