@@ -59,13 +59,15 @@ def _chain_time_short(exe_args_fn, b, n1=4, n2=16, reps=5):
     f, args = exe_args_fn
 
     def make_chain(N):
+        # args as jit ARGUMENTS (closure captures become HLO constants
+        # — see utils/profiling.chain_time)
         @jax.jit
-        def chain(v):
+        def chain(v, *a):
             def body(i, v):
-                w = f(v, *args)
+                w = f(v, *a)
                 return w / (jnp.max(jnp.abs(w)) + 1e-30)
             return lax.fori_loop(0, N, body, v)
-        return chain
+        return lambda x0: chain(x0, *args)
 
     c1, c2 = make_chain(n1), make_chain(n2)
     np.asarray(c1(b)), np.asarray(c2(b))  # compile + warmup
@@ -268,7 +270,7 @@ def bench_config(cfg_id: int) -> dict:
 
         def make_chain(N):
             @jax.jit
-            def chain(b):
+            def chain(b, data0):
                 # feed the solution back as the next RHS (renormalized so
                 # deep chains stay finite), and perturb the matrix values
                 # by the carry so the refactorization is loop-variant —
@@ -279,7 +281,7 @@ def bench_config(cfg_id: int) -> dict:
                     w = step(data0 * (1 + 1e-6 * v[0, 0]), v)
                     return w / (jnp.max(jnp.abs(w)) + 1e-30)
                 return lax.fori_loop(0, N, body, b)
-            return chain, b
+            return (lambda x0: chain(x0, data0)), b
 
         # scipy baseline: full splu factorization (it has no numeric-only
         # path); sampled before AND after our timing, min kept, so
@@ -479,6 +481,13 @@ def bench_config(cfg_id: int) -> dict:
         # collective/halo/round counts from the static pipeline plans,
         # plus a projected efficiency model a reviewer can audit
         out["scaling_proxy"] = _pipeline_scaling_proxy(F, R, t1)
+        # wide panel (R=64): M can reach 64, holding >=0.7 projected
+        # efficiency out to D~8 where R=16 (M capped by divisibility)
+        # falls below the bar at D>=4
+        b64 = jnp.asarray(rng.random((A.shape[0], 64)), dtype=jnp.float32)
+        t64 = _chain_time_robust(_ldiv_fn(F), b64)
+        out["t_single_r64"] = t64
+        out["scaling_proxy_r64"] = _pipeline_scaling_proxy(F, 64, t64)
         # psum-engine projection at R=1 on the SAME banded plan: the
         # chunk DAG is a chain (level width 1), so this documents the
         # single-RHS dead-end quantitatively (VERDICT r4 #2c)
@@ -605,6 +614,61 @@ def _pipeline_scaling_proxy(F, R, t1):
                 per_D=rows)
 
 
+def _scale_probe() -> dict:
+    """Wide RHS panels at n=90k through the R-strip fused path
+    (VERDICT r4 #4): measure what the paging actually costs at the scale
+    it was built for, plus the stream-bytes multiplier paid per strip.
+
+    The op stream at this scale holds ~0.4 GB of tile pages; the panel
+    VMEM ceiling (ops/pallas_ldiv.max_fused_rhs) caps the per-invocation
+    RHS width, and wider panels re-stream ALL tile pages once per strip
+    — S strips pay ~S x the dominant HBM bytes. The alternative (XLA
+    level-scan engine) measured ~10x slower at n=10k; this probe records
+    the strip path's real numbers at n=90k.
+    """
+    import jax.numpy as jnp
+
+    from tpu_sparse_lu.models import poisson_2d
+    from tpu_sparse_lu.ops.pallas_ldiv import (
+        PAGE, max_fused_rhs, supports_fused_ldiv,
+    )
+
+    rng = np.random.default_rng(0)
+    A = poisson_2d(300, 300)
+    F = _make_F(A, 128, ordering="nd", nd_cutoff=512)
+    ops = F._ldiv_ops
+    nnz = F.L.nnz + F.U.nnz
+    out = dict(n=A.shape[0], nnz_lu=nnz,
+               fused=ops is not None,
+               levels=(F.plan.lplan.num_levels, F.plan.uplan.num_levels))
+    if ops is None:
+        out["note"] = "fused op stream unavailable at this scale"
+        return out
+    Rmax = max_fused_rhs(ops)
+    out["max_fused_rhs"] = Rmax
+    pk = np.asarray(ops.page_kind)
+    f32_pages = int((pk == 1).sum())
+    stream_bytes_1 = f32_pages * PAGE * ops.cs * ops.cs * 4
+    out["stream_bytes_per_strip"] = stream_bytes_1
+    for R in (8, 16, 64):
+        b = jnp.asarray(rng.random((A.shape[0], R)), dtype=jnp.float32)
+        strips = 1 if supports_fused_ldiv(ops, R) else -(-R // Rmax)
+        resid = _check_residual(F, A, b)
+        t = _chain_time_robust(_ldiv_fn(F), b)
+        t_base = _scipy_panel_time(A, R, reps=5)
+        out[f"R{R}"] = dict(
+            t_ours=t, t_scipy=t_base, resid=resid, strips=strips,
+            stream_bytes_paid=strips * stream_bytes_1,
+            nnz_per_s=_per(nnz * R, t), vs_baseline=_per(t_base, t),
+            hbm_eff=(strips * stream_bytes_1 / t / 819e9)
+            if (t and np.isfinite(t)) else None,
+        )
+        log(f"scale n=90k R={R}: ours "
+            f"{(t * 1e3 if t and np.isfinite(t) else float('nan')):.3f} ms "
+            f"({strips} strips), scipy {t_base*1e3:.1f} ms")
+    return out
+
+
 def _psum_scaling_proxy(F, R, t1) -> dict:
     """Efficiency projection for the level-striped psum engine
     (parallel/sharded_solve.py) at D = 2..8 — the quantified multi-chip
@@ -639,23 +703,29 @@ def _psum_scaling_proxy(F, R, t1) -> dict:
         par_ops = 0
         comm = 0.0
         bytes_total = 0
+        n_segments = 0
         for plan_ in plans:
             sp_ = build_sharded_tri_plan(plan_, D)
-            MW = sp_.MW
-            lvl_bytes = (MW + 1) * cs * R * 4
+            n_segments += len(sp_.segments)
+            # comm follows the SEGMENTED buffers the engine actually
+            # psums: narrow levels pay narrow payloads
+            for seg in sp_.segments:
+                lvl_bytes = (seg.MW + 1) * cs * R * 4
+                NLs = seg.level_touched.shape[0]
+                comm += NLs * (2 * (D - 1) * ICI_LAT
+                               + 2 * (D - 1) / D * lvl_bytes / ICI_BW)
+                bytes_total += NLs * lvl_bytes
             for l in range(plan_.num_levels):
                 ops_l = int(plan_.level_chunk_counts[l]
                             + plan_.level_tile_counts[l])
                 par_ops += -(-ops_l // D)
-                comm += (2 * (D - 1) * ICI_LAT
-                         + 2 * (D - 1) / D * lvl_bytes / ICI_BW)
-                bytes_total += lvl_bytes
         t_comp = (t1 * par_ops / tot_ops) if (t1 and np.isfinite(t1)) else None
         tD = (t_comp + comm) if t_comp else None
         rows.append(dict(
             D=D,
             parallel_op_fraction=par_ops / tot_ops,
             levels=NL_tot,
+            width_segments=n_segments,
             collective_bytes_per_solve=bytes_total,
             projected_t=tD,
             projected_efficiency=(t1 / (tD * D)) if tD else None,
@@ -782,6 +852,7 @@ def main():
     ap.add_argument("--config", type=int, default=None)
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--f64-probe", action="store_true")
+    ap.add_argument("--scale", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -799,6 +870,10 @@ def main():
         print(json.dumps(_f64_probe()))
         return
 
+    if args.scale:
+        print(json.dumps(_scale_probe()))
+        return
+
     if args.all:
         detail = {}
         for c in (1, 2, 3, 4, 5):
@@ -808,6 +883,12 @@ def main():
             except Exception as e:  # keep the suite going
                 detail[c] = {"error": str(e)}
                 log(f"config {c} FAILED: {e}")
+        try:
+            detail["scale_90k"] = _scale_probe()
+            log(f"scale_90k: {detail['scale_90k']}")
+        except Exception as e:
+            detail["scale_90k"] = {"error": str(e)}
+            log(f"scale_90k FAILED: {e}")
         # f64 tier in a SUBPROCESS: jax_enable_x64 is process-global and
         # cannot be flipped under this process's cached f32 executables
         import subprocess

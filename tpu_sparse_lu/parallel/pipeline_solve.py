@@ -163,7 +163,7 @@ def _bmm(a, b):
     )
 
 
-def autotune_micro_panels(R: int, D: int, *, cap: int = 16) -> int:
+def autotune_micro_panels(R: int, D: int, *, cap: Optional[int] = None) -> int:
     """Pick the micro-panel count M for the overlapped pipeline
     (VERDICT r3 #2b).
 
@@ -172,9 +172,12 @@ def autotune_micro_panels(R: int, D: int, *, cap: int = 16) -> int:
     it better; the cost of thin panels (cs × R/M tile matmuls) is small
     because each round is latency-bound, not MXU-bound. M must divide R
     (equal static panel widths), so take the largest divisor of R that is
-    ≤ ``cap`` (cap=16: at M=16 efficiency is already 16/19 = 0.84 at D=2
-    and 16/23 = 0.70 at D=4; beyond that the per-round ICI latency charge
-    grows linearly for single-digit-percent efficiency).
+    ≤ ``cap``. The default cap scales with the bubble: ``max(16, 4*(2D-1))``
+    — at D ≤ 3 the old cap of 16 already gives ≥ 0.76 pipeline
+    efficiency, while D ≥ 4 with wide panels (R ≥ 32) needs M > 16 to
+    stay above the 70% bar (M=32 at D=4: 32/39 = 0.82 vs 16/23 = 0.70);
+    each extra round costs ~1 ICI-hop latency, which the efficiency
+    projection (bench._pipeline_scaling_proxy) charges honestly.
 
     ``R = 1`` (the reference's primary calling pattern, src:286) returns
     M=1: a banded chain is inherently serial across a contiguous row
@@ -183,6 +186,8 @@ def autotune_micro_panels(R: int, D: int, *, cap: int = 16) -> int:
     multi-chip solves should ride the level-striped psum engine over an
     nd ordering instead (level width is the parallelism there).
     """
+    if cap is None:
+        cap = max(16, 4 * (2 * D - 1))
     m = max(1, min(cap, R))
     while R % m:
         m -= 1

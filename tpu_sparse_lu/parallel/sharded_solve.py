@@ -45,6 +45,27 @@ __all__ = ["ShardedTriPlan", "build_sharded_tri_plan", "sharded_blocked_tri_solv
 
 
 @dataclasses.dataclass
+class TriPlanSegment:
+    """One contiguous run of levels sharing a psum-buffer width.
+
+    The compact exchange pads every level's buffer to the widest level's
+    touched count; under nested-dissection schedules ONE wide leaf level
+    (hundreds of chunks) would force every narrow separator level to psum
+    the same wide buffer. Segmenting the level sequence (optimal 1-D
+    partition DP over ``len(seg) * (maxW(seg)+1)`` + a per-segment
+    overhead) lets narrow levels exchange narrow buffers — per-solve
+    collective bytes drop to near the sum of ACTUAL touched rows."""
+
+    MW: int
+    level_chunks: np.ndarray   # (NLs, D, MCd)
+    level_tiles: np.ndarray    # (NLs, D, MTd)
+    tile_src_slot: np.ndarray  # (NLs, D, MTd)
+    chunk_cslot: np.ndarray    # (NLs, D, MCd), padding -> MW (this segment's)
+    tile_cslot: np.ndarray     # (NLs, D, MTd), padding -> MW
+    level_touched: np.ndarray  # (NLs, MW)
+
+
+@dataclasses.dataclass
 class ShardedTriPlan:
     """Per-device level schedule: chunks striped round-robin, tiles placed
     with the device that owns their source chunk (owner-computes).
@@ -54,7 +75,9 @@ class ShardedTriPlan:
     off-diagonal tiles — is static, so instead of psum-ing the whole
     ``(K+1, cs, R)`` carrier each level, devices scatter their deltas into
     a ``(MW+1, cs, R)`` buffer laid out by ``level_touched`` and psum only
-    that. Per-level collective bytes drop from ``O(n·R)`` to
+    that; the level sequence is additionally SEGMENTED by width (see
+    :class:`TriPlanSegment`) so narrow levels exchange narrow buffers.
+    Per-level collective bytes drop from ``O(n·R)`` to
     ``O(touched·cs·R)`` — the quantity that actually has to move for the
     level's writes to become globally visible."""
 
@@ -66,7 +89,8 @@ class ShardedTriPlan:
     # (NL, D, MTd): local slot (into this device's chunk stripe) of each
     # tile's source chunk; dummy tiles point at slot 0
     tile_src_slot: np.ndarray
-    # compact-exchange layout:
+    # compact-exchange layout (GLOBAL padding — the per-segment views in
+    # ``segments`` are what the engine executes):
     # (NL, MW): chunk ids this level writes (its chunks + tile dst
     # chunks), padded with K — the psum buffer's row map
     level_touched: np.ndarray
@@ -75,16 +99,63 @@ class ShardedTriPlan:
     chunk_cslot: np.ndarray
     # (NL, D, MTd): compact slot of each tile's DST chunk (padding -> MW)
     tile_cslot: np.ndarray
+    # width-bucketed contiguous level runs, in execution order
+    segments: list
 
     @property
     def MW(self) -> int:
         return self.level_touched.shape[1]
 
     def psum_bytes_per_solve(self, cs: int, R: int, itemsize: int = 4) -> int:
-        """Total per-level-collective payload of one solve (all levels) —
-        the checkable 'measured per-level collective bytes' figure."""
-        return int(self.level_touched.shape[0]
-                   * (self.MW + 1) * cs * R * itemsize)
+        """Total per-level-collective payload of one solve (all levels,
+        segment-exact) — the checkable 'measured per-level collective
+        bytes' figure."""
+        return int(sum(
+            s.level_touched.shape[0] * (s.MW + 1) * cs * R * itemsize
+            for s in self.segments
+        ))
+
+
+_SEG_OVERHEAD_ROWS = 16  # per-segment cost (extra scan dispatch/compile)
+_MAX_SEGMENTS = 12
+
+
+def _segment_levels(widths) -> list:
+    """Optimal contiguous partition of the level sequence minimizing
+    ``sum(len(seg) * (max_width(seg) + 1)) + overhead * n_segments``
+    (classic 1-D partition DP), capped at ``_MAX_SEGMENTS`` segments to
+    bound the number of compiled scan bodies. Returns [(lo, hi), ...]."""
+    NL = len(widths)
+    if NL == 0:
+        return []
+    S = min(_MAX_SEGMENTS, NL)
+    INF = float("inf")
+    # dp[s][i] = min cost of covering levels [0, i) with s segments
+    dp = [[INF] * (NL + 1) for _ in range(S + 1)]
+    back = [[0] * (NL + 1) for _ in range(S + 1)]
+    dp[0][0] = 0.0
+    for s in range(1, S + 1):
+        for i in range(1, NL + 1):
+            w = 0
+            best, bj = INF, 0
+            for j in range(i - 1, -1, -1):  # segment [j, i)
+                if widths[j] > w:
+                    w = widths[j]
+                prev = dp[s - 1][j]
+                if prev < INF:
+                    c = prev + (i - j) * (w + 1) + _SEG_OVERHEAD_ROWS
+                    if c < best:
+                        best, bj = c, j
+            dp[s][i] = best
+            back[s][i] = bj
+    s_best = min(range(1, S + 1), key=lambda s: dp[s][NL])
+    bounds = []
+    i = NL
+    for s in range(s_best, 0, -1):
+        j = back[s][i]
+        bounds.append((j, i))
+        i = j
+    return bounds[::-1]
 
 
 def build_sharded_tri_plan(plan: TriPlan, D: int) -> ShardedTriPlan:
@@ -141,6 +212,26 @@ def build_sharded_tri_plan(plan: TriPlan, D: int) -> ShardedTriPlan:
                 level_tiles[l, d, a] = t
                 tile_src_slot[l, d, a] = s
                 tile_cslot[l, d, a] = c
+    # width-bucketed segments: per-level slot values already fit any
+    # segment MW >= the level's own width, so the per-segment views just
+    # remap the garbage row MW -> MW_s and truncate the touched map
+    widths = [len(tl) for tl in touched_at]
+    segments = []
+    for lo, hi in _segment_levels(widths):
+        MW_s = max(widths[lo:hi] or [1]) or 1
+        segments.append(TriPlanSegment(
+            MW=MW_s,
+            level_chunks=level_chunks[lo:hi],
+            level_tiles=level_tiles[lo:hi],
+            tile_src_slot=tile_src_slot[lo:hi],
+            chunk_cslot=np.where(
+                chunk_cslot[lo:hi] == MW, MW_s, chunk_cslot[lo:hi]
+            ).astype(np.int32),
+            tile_cslot=np.where(
+                tile_cslot[lo:hi] == MW, MW_s, tile_cslot[lo:hi]
+            ).astype(np.int32),
+            level_touched=level_touched[lo:hi, :MW_s],
+        ))
     return ShardedTriPlan(
         D=D,
         level_chunks=level_chunks,
@@ -149,6 +240,7 @@ def build_sharded_tri_plan(plan: TriPlan, D: int) -> ShardedTriPlan:
         level_touched=level_touched,
         chunk_cslot=chunk_cslot,
         tile_cslot=tile_cslot,
+        segments=segments,
     )
 
 
@@ -177,13 +269,14 @@ def sharded_blocked_tri_solve(
     replicated carrier.
     """
     lower = plan.lower
-    lc = jnp.asarray(splan.level_chunks)    # (NL, D, MCd)
-    lt = jnp.asarray(splan.level_tiles)     # (NL, D, MTd)
-    ls = jnp.asarray(splan.tile_src_slot)   # (NL, D, MTd)
-    cc = jnp.asarray(splan.chunk_cslot)     # (NL, D, MCd)
-    tc = jnp.asarray(splan.tile_cslot)      # (NL, D, MTd)
-    tw = jnp.asarray(splan.level_touched)   # (NL, MW)
-    MW = splan.MW
+    segs = tuple(
+        tuple(jnp.asarray(a) for a in (
+            s.level_chunks, s.level_tiles, s.tile_src_slot,
+            s.chunk_cslot, s.tile_cslot, s.level_touched,
+        ))
+        for s in splan.segments
+    )
+    seg_MW = tuple(s.MW for s in splan.segments)
 
     def solve_diag(r, chunk_ids):
         if tri_mode == "trsm":
@@ -198,45 +291,54 @@ def sharded_blocked_tri_solve(
             y = y + _bmm(tinv, resid)
         return y
 
+    # schedules are (NL, D, ·): shard the device axis, replicate levels
+    seg_spec = (P(None, axis), P(None, axis), P(None, axis),
+                P(None, axis), P(None, axis), P())
+
     @partial(
         shard_map,
         mesh=mesh,
-        # schedules are (NL, D, ·): shard the device axis, replicate levels
-        in_specs=(P(), P(None, axis), P(None, axis), P(None, axis),
-                  P(None, axis), P(None, axis), P()),
+        in_specs=(P(),) + (seg_spec,) * len(segs),
         out_specs=P(),
     )
-    def run(xw, lc_me, lt_me, ls_me, cc_me, tc_me, tw):
-        # shard_map gives each device its (NL, 1, MCd) stripe
-        lc_me = lc_me[:, 0]
-        lt_me = lt_me[:, 0]
-        ls_me = ls_me[:, 0]
-        cc_me = cc_me[:, 0]
-        tc_me = tc_me[:, 0]
+    def run(xw, *segs_me):
+        # one scan per width segment: narrow levels exchange narrow
+        # buffers instead of paying the widest level's psum payload
+        for MW, (lc_me, lt_me, ls_me, cc_me, tc_me, tw) in zip(
+                seg_MW, segs_me):
+            # shard_map gives each device its (NLs, 1, MCd) stripe
+            lc_me = lc_me[:, 0]
+            lt_me = lt_me[:, 0]
+            ls_me = ls_me[:, 0]
+            cc_me = cc_me[:, 0]
+            tc_me = tc_me[:, 0]
 
-        def step(carry, xs):
-            xw = carry
-            my_chunks, my_tiles, my_slots, my_cslot, my_tslot, touched = xs
-            r = xw[my_chunks]                      # (MCd, cs, R)
-            y = solve_diag(r, my_chunks)
-            # COMPACT per-level exchange (VERDICT r3 #2a): scatter deltas
-            # into the level's static touched-row layout; padding rows go
-            # to garbage slot MW. Only (MW+1, cs, R) crosses the wire —
-            # the reference's latent per-chunk MPI barrier (SURVEY §3.2)
-            # batched per level, carrying just the rows the level wrote.
-            dc = jnp.zeros((MW + 1,) + xw.shape[1:], xw.dtype)
-            dc = dc.at[my_cslot].add(y - r)
-            # owner-computes: this device solved every tile's source chunk
-            contrib = _bmm(data.offdiag[my_tiles], y[my_slots])
-            dc = dc.at[my_tslot].add(contrib)
-            dc = lax.psum(dc, axis)
-            xw = xw.at[touched].add(dc[:MW])
-            return xw, None
+            def step(carry, xs, MW=MW):
+                xw = carry
+                my_chunks, my_tiles, my_slots, my_cslot, my_tslot, touched = xs
+                r = xw[my_chunks]                  # (MCd, cs, R)
+                y = solve_diag(r, my_chunks)
+                # COMPACT per-level exchange (VERDICT r3 #2a): scatter
+                # deltas into the level's static touched-row layout;
+                # padding rows go to garbage slot MW. Only (MW+1, cs, R)
+                # crosses the wire — the reference's latent per-chunk MPI
+                # barrier (SURVEY §3.2) batched per level, carrying just
+                # the rows the level wrote.
+                dc = jnp.zeros((MW + 1,) + xw.shape[1:], xw.dtype)
+                dc = dc.at[my_cslot].add(y - r)
+                # owner-computes: this device solved every tile's source
+                contrib = _bmm(data.offdiag[my_tiles], y[my_slots])
+                dc = dc.at[my_tslot].add(contrib)
+                dc = lax.psum(dc, axis)
+                xw = xw.at[touched].add(dc[:MW])
+                return xw, None
 
-        xw, _ = lax.scan(step, xw, (lc_me, lt_me, ls_me, cc_me, tc_me, tw))
+            xw, _ = lax.scan(
+                step, xw, (lc_me, lt_me, ls_me, cc_me, tc_me, tw)
+            )
         return xw
 
-    return run(xw, lc, lt, ls, cc, tc, tw)
+    return run(xw, *segs)
 
 
 def sharded_ldiv(

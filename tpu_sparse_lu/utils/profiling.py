@@ -83,13 +83,19 @@ def chain_time(exe_args_fn, b, reps: int = 5) -> float:
     f, args = exe_args_fn
 
     def make_chain(N):
+        # args MUST travel as jit arguments, not closure captures: a
+        # closure-captured device array becomes an HLO CONSTANT of the
+        # chain program — at n ~ 1e5 the fused-ldiv tile stream is
+        # ~0.4 GB, which blows the axon remote-compile request limit
+        # (HTTP 413) and would re-upload per compile anyway.
         @jax.jit
-        def chain(b):
+        def chain(b, *a):
             def body(i, v):
-                w = f(v, *args)
+                w = f(v, *a)
                 return w / (jnp.max(jnp.abs(w)) + 1e-30)
             return lax.fori_loop(0, N, body, b)
-        return chain, b
+
+        return (lambda x0: chain(x0, *args)), b
 
     return slope_time(make_chain, reps=reps)
 
