@@ -25,6 +25,7 @@ masquerade as slope.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -735,6 +736,80 @@ def _psum_scaling_proxy(F, R, t1) -> dict:
                 per_D=rows)
 
 
+def _persist_probe() -> dict:
+    """save()/from_saved() costs at scale (VERDICT r3 #5, r4 #8; ADVICE
+    r4 #2: persistence numbers belong in the committed artifact, not
+    roadmap prose). Runs on the CPU backend in its own subprocess — the
+    round-4 methodology: host-path costs with no tunnel-upload
+    distortion, comparable to the r4 prose numbers (31.5 s construct /
+    15.2 s reload at n=90k with f64 values).
+
+    Two points:
+
+    * n=90k nd Poisson, FULL save: the nd closure at this n exceeds the
+      device-refactor HBM budget (~42 GB estimated store), so factor
+      values MUST persist; the r5 lever is storing them at the solver
+      dtype (f32 halves the round-4 file and its reload bytes).
+    * n=40k nd Poisson, LIGHT save (values-less, VERDICT r4 #8): the
+      solver is constructed with factorize="device" (no SuperLU at all
+      — the r5 device-first construct, replacing the reference's
+      construct-time UMFPACK call, src:74), save() persists pattern +
+      plans + the refactor schedule only, and from_saved recomputes the
+      factor values from A's nonzeros via the device elimination.
+      ``from_saved_warm`` excludes the one-time XLA compile (persistent
+      cache in deployment); ``from_saved_cold`` includes it.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from tpu_sparse_lu import ParallelSparseLU, SolverConfig
+    from tpu_sparse_lu.models import poisson_2d
+
+    path = "/tmp/tpu_sparse_lu_persist.npz"
+    rng = np.random.default_rng(0)
+
+    def roundtrip(A, cfg, extra=()):
+        t0 = time.perf_counter()
+        F = ParallelSparseLU(A, config=cfg)
+        t_construct = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        F.save(path)
+        t_save = time.perf_counter() - t0
+        size = os.path.getsize(path)
+        light = bool("light" in np.load(path).files)
+        t0 = time.perf_counter()
+        G = ParallelSparseLU.from_saved(A, path)
+        t_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        G = ParallelSparseLU.from_saved(A, path)
+        t_warm = time.perf_counter() - t0
+        b = rng.random(A.shape[0])
+        resid = _check_residual(G, A, b)
+        r = dict(n=A.shape[0], nnz_lu=int(G.L.nnz + G.U.nnz),
+                 light_save=light, construct=t_construct, save=t_save,
+                 file_bytes=size, from_saved_cold=t_cold,
+                 from_saved_warm=t_warm, resid=resid)
+        r.update(extra)
+        return r
+
+    out = {}
+    cfg90 = SolverConfig(chunk_size=128, tri_mode="inv", dtype="float32",
+                         ordering="nd", nd_cutoff=512)
+    out["n90k_full"] = roundtrip(poisson_2d(300, 300), cfg90, extra=(
+        ("note", "values at solver dtype (f32) — the nd closure at this "
+                 "n exceeds the device-refactor budget, so the light "
+                 "save is ineligible and values must persist"),))
+    cfg40 = SolverConfig(chunk_size=128, tri_mode="inv", dtype="float32",
+                         ordering="nd", nd_cutoff=512, factorize="device")
+    out["n40k_light"] = roundtrip(poisson_2d(200, 200), cfg40, extra=(
+        ("note", "values-less save: construct never runs SuperLU "
+                 "(factorize='device') and the load recomputes factor "
+                 "values via the device elimination"),))
+    if os.path.exists(path):
+        os.remove(path)
+    return out
+
+
 def _f64_probe() -> dict:
     """f64 accuracy/perf tier on the device (VERDICT r2 #7, r3 #1)
     against the reference's full-f64 UMFPACK bar (runtests.jl:25-26).
@@ -853,7 +928,13 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--f64-probe", action="store_true")
     ap.add_argument("--scale", action="store_true")
+    ap.add_argument("--persist", action="store_true")
     args = ap.parse_args()
+
+    if args.persist:
+        # own process: forces the CPU backend (see _persist_probe)
+        print(json.dumps(_persist_probe()))
+        return
 
     import jax
 
@@ -902,6 +983,19 @@ def main():
         except Exception as e:
             detail["f64_tier"] = {"error": str(e)}
             log(f"f64 probe FAILED: {e}")
+        # persistence probe in a SUBPROCESS: it forces the CPU backend
+        # (host-path timing methodology; no tunnel-upload distortion)
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--persist"],
+                capture_output=True, text=True, timeout=3600, check=True,
+            )
+            detail["persistence"] = json.loads(
+                out.stdout.strip().splitlines()[-1])
+            log(f"persistence: {detail['persistence']}")
+        except Exception as e:
+            detail["persistence"] = {"error": str(e)}
+            log(f"persistence probe FAILED: {e}")
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f, indent=2)
         r = detail.get(4, {})

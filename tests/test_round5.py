@@ -189,9 +189,10 @@ def test_materialized_LU_after_refactor_numeric(rng):
 
 
 def test_factorize_device_save_roundtrip(rng, tmp_path):
-    """save() under factorize="device" persists the MATERIALIZED factor
-    values (not the pattern-only placeholders); from_saved solves
-    correctly without re-running the device elimination."""
+    """save() under factorize="device" defaults to the values-less light
+    save (the solver has a device refactor schedule, so the load
+    recomputes values from A's nonzeros — VERDICT r4 #8); from_saved
+    solves at the same accuracy."""
     A = poisson_2d(12, 12)
     F = ParallelSparseLU(A, config=SolverConfig(
         chunk_size=16, ordering="nd", factorize="device"))
@@ -199,10 +200,62 @@ def test_factorize_device_save_roundtrip(rng, tmp_path):
     x0 = np.asarray(F.ldiv(b, refine_steps=1))
     path = str(tmp_path / "state.npz")
     F.save(path)
+    z = np.load(path)
+    assert "light" in z.files and "L_data" not in z.files
     F2 = ParallelSparseLU.from_saved(A, path)
     x1 = np.asarray(F2.ldiv(b, refine_steps=1))
     assert_isapprox(x1, x0, rtol=1e-6, atol=1e-6)
     assert_isapprox(x1, spla.spsolve(A.tocsc(), b), rtol=1e-8, atol=1e-8)
+    # values=True keeps the universally-loadable full save
+    full = str(tmp_path / "full.npz")
+    F.save(full, values=True)
+    assert "L_data" in np.load(full).files
+    x2 = np.asarray(ParallelSparseLU.from_saved(A, full).ldiv(
+        b, refine_steps=1))
+    assert_isapprox(x2, x0, rtol=1e-6, atol=1e-6)
+
+
+def test_save_light_from_host_solver(rng, tmp_path):
+    """values=False on a host-factorized solver builds the device
+    schedule at save time; the reload never calls the host backend and
+    recomputes the values via the device elimination. The light file
+    drops the nnz(LU)-sized value arrays (the dominant bytes)."""
+    A = poisson_2d(14, 14)
+    F = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=16, ordering="nd", dtype="float32", tri_mode="inv"))
+    assert not F.has_device_refactor
+    light = str(tmp_path / "light.npz")
+    F.save(light, values=False)
+    assert F.has_device_refactor  # built to serialize the schedule
+    full = str(tmp_path / "full.npz")
+    F.save(full, values=True)
+
+    import tpu_sparse_lu.symbolic as sym
+    calls = []
+    orig = sym.factorize_host
+    sym.factorize_host = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        G = ParallelSparseLU.from_saved(A, light)
+    finally:
+        sym.factorize_host = orig
+    assert not calls, "light reload re-ran the host factorization backend"
+    b = rng.random(A.shape[0])
+    xe = spla.spsolve(A.tocsc(), b)
+    assert_isapprox(np.asarray(G.ldiv(b, refine_steps=1), dtype=np.float64),
+                    xe, rtol=1e-4, atol=1e-5)
+    # the lifecycle continues after a light reload
+    A2 = A.copy()
+    A2.data = A2.data * (1 + 0.02 * rng.standard_normal(A2.data.shape))
+    G.refactor_numeric(A2)
+    assert_isapprox(np.asarray(G.ldiv(b, refine_steps=1), dtype=np.float64),
+                    spla.spsolve(A2.tocsc(), b), rtol=1e-4, atol=1e-5)
+    # on_value_change="error" still sanity-checks values in light mode
+    with pytest.raises(ValueError, match="values differ"):
+        ParallelSparseLU.from_saved(A2, light, on_value_change="error")
+    # value change at load: the light reload factors A2 directly
+    H = ParallelSparseLU.from_saved(A2, light)
+    assert_isapprox(np.asarray(H.ldiv(b, refine_steps=1), dtype=np.float64),
+                    spla.spsolve(A2.tocsc(), b), rtol=1e-4, atol=1e-5)
 
 
 def test_save_values_at_working_precision(rng, tmp_path):
