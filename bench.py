@@ -441,7 +441,13 @@ def bench_config(cfg_id: int) -> dict:
             t_ours=t_bf, resid=r_bf,
             with_one_ir=dict(t_ours=t_bf_ir, resid=r_bf_ir),
             note=("kind-1 (L/U tile) pages at 2 bytes/word; int8 perm "
-                  "and shift pages unchanged"))
+                  "and shift pages unchanged. with_one_ir pairs bf16 "
+                  "with an f32-RESIDUAL sweep, which cannot beat the "
+                  "bf16 tile noise floor (the r4 'IR made it worse' "
+                  "line) — the accuracy pairing is f64_tier.bf16_mixed "
+                  "(f64 DIA residual), itself a recorded dead-end for "
+                  "the 1e-12 bar; bf16's niche is this fast low-"
+                  "accuracy tier"))
         log(f"config4 bf16: {t_bf*1e3:.3f} ms resid {r_bf:.1e}; "
             f"+1 IR {t_bf_ir*1e3:.3f} ms resid {r_bf_ir:.1e}")
         # per-phase breakdown + MFU (VERDICT r1 #9)
@@ -768,9 +774,19 @@ def _persist_probe() -> dict:
     path = "/tmp/tpu_sparse_lu_persist.npz"
     rng = np.random.default_rng(0)
 
+    def sync(F):
+        # CPU backend: block_until_ready is truthful here (unlike the
+        # axon tunnel) — without it the cold load's async device work
+        # (pack, tile inverses, the light path's elimination) drains
+        # during the NEXT timed section
+        jax.block_until_ready(
+            [x for x in jax.tree.leaves((F.ldata, F.udata))
+             if hasattr(x, "block_until_ready")])
+        return F
+
     def roundtrip(A, cfg, extra=()):
         t0 = time.perf_counter()
-        F = ParallelSparseLU(A, config=cfg)
+        F = sync(ParallelSparseLU(A, config=cfg))
         t_construct = time.perf_counter() - t0
         t0 = time.perf_counter()
         F.save(path)
@@ -778,10 +794,10 @@ def _persist_probe() -> dict:
         size = os.path.getsize(path)
         light = bool("light" in np.load(path).files)
         t0 = time.perf_counter()
-        G = ParallelSparseLU.from_saved(A, path)
+        G = sync(ParallelSparseLU.from_saved(A, path))
         t_cold = time.perf_counter() - t0
         t0 = time.perf_counter()
-        G = ParallelSparseLU.from_saved(A, path)
+        G = sync(ParallelSparseLU.from_saved(A, path))
         t_warm = time.perf_counter() - t0
         b = rng.random(A.shape[0])
         resid = _check_residual(G, A, b)

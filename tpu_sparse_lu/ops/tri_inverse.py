@@ -24,6 +24,8 @@ refactorization panels.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -101,10 +103,16 @@ def _rec_inv(T: jax.Array, lower: bool) -> jax.Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+@functools.partial(jax.jit, static_argnames=("lower", "unit"))
 def tri_inverse(T: jax.Array, *, lower: bool, unit: bool = False) -> jax.Array:
     """Inverse of triangular tiles ``T (..., cs, cs)``.
 
     ``unit=True`` treats the diagonal as 1 regardless of stored values.
+
+    Jitted at this boundary: the blocked recursion otherwise runs its
+    ~130 primitive binds EAGERLY when called from the host pack path
+    (``solve.prepare_tri_kernel``), which profiled at 8 s of the n=90k
+    ``from_saved`` reload; under an enclosing jit the wrapper inlines.
     """
     cs = T.shape[-1]
     if unit:
