@@ -258,6 +258,26 @@ def test_save_light_from_host_solver(rng, tmp_path):
                     spla.spsolve(A2.tocsc(), b), rtol=1e-4, atol=1e-5)
 
 
+def test_light_save_preserves_config(rng, tmp_path):
+    """The reload reconstructs the solver from the persisted config —
+    stream dtype, factorize mode, nd cutoff, chunk size all survive the
+    light roundtrip (a dropped config field would silently rebuild the
+    solver with defaults)."""
+    A = poisson_2d(12, 12)
+    F = ParallelSparseLU(A, config=SolverConfig(
+        chunk_size=16, ordering="nd", factorize="device",
+        stream_dtype="bfloat16", nd_cutoff=32))
+    path = str(tmp_path / "cfg.npz")
+    F.save(path)
+    assert "light" in np.load(path).files
+    G = ParallelSparseLU.from_saved(A, path)
+    assert G.config.stream_dtype == "bfloat16"
+    assert G.config.factorize == "device"
+    assert G._nd_cutoff == F._nd_cutoff
+    assert G.chunk_size == F.chunk_size
+    assert str(G._stream_dt) == "bfloat16"
+
+
 def test_save_values_at_working_precision(rng, tmp_path):
     """Factor values persist at the solver dtype (f32 halves the file's
     dominant bytes, VERDICT r4 #8) and the reload still solves at the

@@ -43,6 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["supports_span_gather", "span_gather"]
 
 _VMEM_BUDGET = 10 * 1024 * 1024
+# PrefetchScalarGridSpec loads the g/lo/hi schedules into SMEM WHOLE
+# (1 MB on v5e); measured on hardware at n=40k nd: 3 x 924 KB of
+# prefetched scalars -> "Ran out of memory in memory space smem. Used
+# 2.71M of 1.00M". Leave headroom for control/spill slots.
+_SMEM_BUDGET = 768 * 1024
 PR = 256     # output rows per grid page
 GROUP = 8    # rows per read/compute/write group
 
@@ -52,6 +57,12 @@ def supports_span_gather(n_rows: int, np2: int, cs: int,
     if not interpret and jax.default_backend() != "tpu":
         return False
     if cs != 128:
+        return False
+    # the three scalar-prefetch schedules live in SMEM in full (applied
+    # in interpret mode too, so CPU tests reject exactly what the
+    # hardware would); the windowed XLA assembly is the fallback
+    npad = -(-n_rows // PR) * PR
+    if 3 * npad * 4 > _SMEM_BUDGET:
         return False
     # the value stream stays VMEM-resident; one output page rides along
     vmem = np2 * 4 + PR * cs * 4
