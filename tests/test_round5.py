@@ -258,6 +258,19 @@ def test_save_light_from_host_solver(rng, tmp_path):
                     spla.spsolve(A2.tocsc(), b), rtol=1e-4, atol=1e-5)
 
 
+def test_span_gather_smem_gate():
+    """supports_span_gather bounds the scalar-prefetch schedules against
+    the 1 MB SMEM space (measured v5e failure at n=40k nd: 3 x 924 KB
+    prefetched scalars -> 'Used 2.71M of 1.00M smem'). Oversized
+    assemblies must route to the windowed XLA fallback."""
+    from tpu_sparse_lu.ops.pallas_span import supports_span_gather
+
+    # small schedules fit (interpret mode bypasses the backend check)
+    assert supports_span_gather(4096, 64 * 128, 128, interpret=True)
+    # the measured failing size: n_rows=235776 -> 2.77 MB of scalars
+    assert not supports_span_gather(235776, 64 * 128, 128, interpret=True)
+
+
 def test_light_save_preserves_config(rng, tmp_path):
     """The reload reconstructs the solver from the persisted config —
     stream dtype, factorize mode, nd cutoff, chunk size all survive the
